@@ -1,0 +1,170 @@
+"""Boosting drivers: the RL single-tree step and the supervised fit loop.
+
+Mirrors Fitter::step_cpu (fitter.cpp:50-115) and Fitter::fit_cpu
+(fitter.cpp:117-261) but as fully device-resident jit programs: the
+supervised loop runs predict -> MultiRMSE -> build-tree -> write-tree inside
+one ``lax.fori_loop`` with zero host round-trips per iteration (the reference
+re-enters C++ from Python per predict and walks trees scalar-wise).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TreeConfig
+from ..ensemble import Ensemble
+from ..optimizers import OptimizerSpec, sgd_coeff
+from .candidates import bucketize, numerical_candidates
+from .fit import build_tree, standardize_l2
+from .loss import multirmse_grads, multirmse_loss
+from .predict import cv_momentum, weighted_leaf_sum
+
+
+def write_tree(ens: Ensemble, tree: dict, idx) -> Ensemble:
+    """Insert one fitted tree at (traced) index ``idx``."""
+    def ins(arr, row):
+        return jax.lax.dynamic_update_slice(
+            arr, row[None].astype(arr.dtype), (idx,) + (0,) * (arr.ndim - 1))
+    return ens.replace(
+        feat=ins(ens.feat, tree["feat"]),
+        thr=ins(ens.thr, tree["thr"]),
+        cat_code=ins(ens.cat_code, tree["cat_code"]),
+        is_split=ins(ens.is_split, tree["is_split"]),
+        is_numeric=ins(ens.is_numeric, tree["is_numeric"]),
+        leaf_values=ins(ens.leaf_values, tree["leaf_values"]),
+        counts=ins(ens.counts, tree["counts"]),
+        depths=ens.depths.at[idx].set(tree["depth"]),
+        n_trees=jnp.maximum(ens.n_trees, idx + 1),
+    )
+
+
+def apply_control_variates(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
+                           grads: jax.Array, sample_w: jax.Array,
+                           Xc: Optional[jax.Array] = None) -> jax.Array:
+    """Gradient variance reduction (fitter.cpp:585-633).
+
+    alpha_j = cov(grads_j, momentum_j) / var(momentum_j), clipped to [-1, 1];
+    grads -= alpha * (momentum - mean(momentum))  (the reference centers the
+    momentum in place inside calculate_var_and_center before subtracting).
+    Zero-variance momentum gets alpha = 0 (the reference would propagate the
+    0/0 NaN; documented deviation).
+    """
+    mom = cv_momentum(cfg, ens, Xn, Xc)                       # bias-corrected
+    w = sample_w[:, None]
+    n = jnp.maximum(jnp.sum(sample_w), 1.0)
+    g_mean = jnp.sum(grads * w, axis=0) / n
+    m_mean = jnp.sum(mom * w, axis=0) / n
+    gc = (grads - g_mean[None, :]) * w
+    mc = (mom - m_mean[None, :]) * w
+    denom = jnp.maximum(n - 1.0, 1.0)
+    var = jnp.sum(mc * mc, axis=0) / denom
+    cov = jnp.sum(gc * mc, axis=0) / denom
+    alpha = jnp.where(var > 0, cov / jnp.where(var > 0, var, 1.0), 0.0)
+    alpha = jnp.clip(alpha, -1.0, 1.0)
+    adjusted = grads - alpha[None, :] * mc
+    # only applied when the ensemble already has trees (fitter.cpp:53-55)
+    return jnp.where(ens.n_trees > 0, adjusted, grads)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def boost_step(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
+               grads: jax.Array, feat_w: jax.Array) -> Ensemble:
+    """One RL boosting iteration == Fitter::step_cpu (fitter.cpp:50-115):
+    optional control variates -> L2 standardization -> candidate generation
+    from this batch -> fit one tree on the gradients -> append."""
+    sample_w = jnp.ones(Xn.shape[0], dtype=jnp.float32)
+    if cfg.use_control_variates:
+        grads = apply_control_variates(cfg, ens, Xn, grads, sample_w)
+    build = standardize_l2(grads, sample_w) if cfg.score == "l2" else grads
+    cand_vals = numerical_candidates(cfg, Xn)
+    Xb = bucketize(Xn, cand_vals)
+    tree = build_tree(cfg, Xb, cand_vals, grads, build, sample_w, feat_w)
+    return write_tree(ens, tree, ens.n_trees)
+
+
+def predict_sgd(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
+                specs: Sequence[OptimizerSpec], start_tree, stop_tree,
+                Xc: Optional[jax.Array] = None) -> jax.Array:
+    """bias + sum of per-tree SGD updates over [start_tree, stop_tree)."""
+    coeff = sgd_coeff(specs, ens.capacity, cfg.output_dim,
+                      ens.n_trees, start_tree, stop_tree)
+    return ens.bias[None, :] + weighted_leaf_sum(cfg, ens, Xn, coeff, Xc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
+             Xn_pad: jax.Array, targets_pad: jax.Array, n_samples: jax.Array,
+             specs: Tuple[OptimizerSpec, ...], feat_w: jax.Array
+             ) -> Tuple[Ensemble, jax.Array]:
+    """Supervised multi-iteration fit == Fitter::fit_cpu (fitter.cpp:117-261).
+
+    Data arrives shuffled and padded to a multiple of cfg.batch_size; padded
+    rows are masked out.  Candidates are generated ONCE from the full dataset
+    (fitter.cpp:134-151), bias is already set to mean(targets)
+    (gbrl.cpp:1078-1080).  Per iteration: cycle to the next mini-batch,
+    predict with trees [0, i), MultiRMSE grads, optional control variates
+    (i > 0), L2 standardization, fit + append one tree.
+    Returns (ensemble, full-dataset loss).
+    """
+    N_pad = Xn_pad.shape[0]
+    bs = min(cfg.batch_size, N_pad)
+    n_batches_f = jnp.ceil(n_samples / bs).astype(jnp.int32)
+
+    full_w = (jnp.arange(N_pad) < n_samples).astype(jnp.float32)
+    cand_vals = _masked_candidates(cfg, Xn_pad, n_samples)
+    Xb_pad = bucketize(Xn_pad, cand_vals)
+
+    n_trees0 = ens.n_trees
+
+    def body(i, ens):
+        start = (i % n_batches_f) * bs
+        Xb = jax.lax.dynamic_slice(Xb_pad, (start, 0), (bs, Xb_pad.shape[1]))
+        Xn = jax.lax.dynamic_slice(Xn_pad, (start, 0), (bs, Xn_pad.shape[1]))
+        tg = jax.lax.dynamic_slice(targets_pad, (start, 0),
+                                   (bs, targets_pad.shape[1]))
+        batch_n = jnp.minimum(bs, n_samples - start)
+        w = (jnp.arange(bs) < batch_n).astype(jnp.float32)
+
+        preds = predict_sgd(cfg, ens, Xn, specs, 0, n_trees0 + i)
+        grads, _ = multirmse_grads(preds, tg, w)
+        if cfg.use_control_variates:
+            adjusted = apply_control_variates(cfg, ens, Xn, grads, w)
+            grads = jnp.where(i > 0, adjusted, grads)
+        build = standardize_l2(grads, w) if cfg.score == "l2" else grads
+        tree = build_tree(cfg, Xb, cand_vals, grads, build, w, feat_w)
+        return write_tree(ens, tree, n_trees0 + i)
+
+    ens = jax.lax.fori_loop(0, iterations, body, ens)
+    preds = predict_sgd(cfg, ens, Xn_pad, specs, 0, n_trees0 + iterations)
+    loss = multirmse_loss(preds, targets_pad, full_w)
+    return ens, loss
+
+
+def _masked_candidates(cfg: TreeConfig, Xn_pad: jax.Array,
+                       n_samples: jax.Array) -> jax.Array:
+    """Candidate generation over only the first n_samples rows of a padded
+    array.  Padded rows are pushed to +inf so they sort past every real value
+    (quantile) and masked out of min/max (uniform)."""
+    N_pad = Xn_pad.shape[0]
+    mask = (jnp.arange(N_pad) < n_samples)[:, None]
+    if cfg.generator == "uniform":
+        mx = jnp.max(jnp.where(mask, Xn_pad, -jnp.inf), axis=0)
+        mn = jnp.min(jnp.where(mask, Xn_pad, jnp.inf), axis=0)
+        step = (mx - mn) / jnp.float32(cfg.n_bins)
+        bins = jnp.arange(cfg.n_bins, dtype=jnp.float32)
+        return mn[:, None] + bins[None, :] * step[:, None]
+    # quantile (split_candidate_generator.cpp:216-249) with real-row counts
+    actual_bins = cfg.n_bins + 1
+    spb = (n_samples // actual_bins).astype(jnp.int32)
+    rem = (n_samples % actual_bins).astype(jnp.int32)
+    bin_counts = spb + (jnp.arange(actual_bins) < rem).astype(jnp.int32)
+    cum = jnp.cumsum(bin_counts)[:cfg.n_bins] - 1
+    cum = jnp.clip(cum, 0, N_pad - 1)
+    Xs = jnp.sort(jnp.where(mask, Xn_pad, jnp.inf), axis=0)
+    cands = Xs[cum, :].T
+    # a candidate grid must stay finite & ascending even if n_bins >= n rows
+    return jnp.where(jnp.isfinite(cands), cands,
+                     jnp.max(jnp.where(mask, Xn_pad, -jnp.inf), axis=0)[:, None])

@@ -1,0 +1,71 @@
+"""Split-candidate generation, fully on-device.
+
+TPU-native equivalent of the reference SplitCandidateGenerator
+(src/cpp/split_candidate_generator.cpp):
+
+- Uniform (lines 59-76): per-feature linspace ``min + b*(max-min)/n_bins``
+  for b in [0, n_bins).
+- Quantile (lines 216-249): equal-count bins over per-feature sorted values
+  with ``actual_bins = n_bins + 1`` and round-robin remainder distribution;
+  candidate b is the sorted value at cumulative_count-1.  The reference's
+  adjacent-duplicate dedup (line 241) is inert in practice (it tests the
+  not-yet-assigned member counter), and duplicates are harmless for
+  first-argmax tie-breaking, so we keep the full [F, B] grid.
+
+Candidates are kept as a dense ``[F, n_bins]`` grid (sorted ascending per
+feature) so that bucketize() can turn every per-sample comparison
+``x > candidate_b`` into a single searchsorted: with
+``bucket = searchsorted(cand[f], x, side='left')`` we have the exact
+equivalence ``x > cand[f, b]  <=>  bucket > b``, which converts split
+scoring over all candidates into histogram suffix sums.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TreeConfig
+
+
+def uniform_candidates(X: jax.Array, n_bins: int) -> jax.Array:
+    """[N, F] -> [F, n_bins] (reference: split_candidate_generator.cpp:59-76)."""
+    mx = jnp.max(X, axis=0)
+    mn = jnp.min(X, axis=0)
+    step = (mx - mn) / jnp.float32(n_bins)
+    bins = jnp.arange(n_bins, dtype=jnp.float32)
+    return mn[:, None] + bins[None, :] * step[:, None]
+
+
+def quantile_candidates(X: jax.Array, n_bins: int) -> jax.Array:
+    """[N, F] -> [F, n_bins] (reference: split_candidate_generator.cpp:216-249).
+
+    actual_bins = n_bins+1 equal-count bins; remainder r goes +1 to bins
+    0..r-1; candidate b = sorted value at index cumsum(bin_counts[:b+1]) - 1.
+    """
+    n = X.shape[0]
+    actual_bins = n_bins + 1
+    spb = n // actual_bins
+    rem = n % actual_bins
+    bin_counts = spb + (jnp.arange(actual_bins) < rem).astype(jnp.int32)
+    idx = jnp.cumsum(bin_counts)[:n_bins] - 1
+    idx = jnp.clip(idx, 0, n - 1)
+    Xs = jnp.sort(X, axis=0)                     # [N, F]
+    return Xs[idx, :].T                          # [F, n_bins]
+
+
+def numerical_candidates(cfg: TreeConfig, X: jax.Array) -> jax.Array:
+    if cfg.generator == "uniform":
+        return uniform_candidates(X, cfg.n_bins)
+    return quantile_candidates(X, cfg.n_bins)
+
+
+def bucketize(X: jax.Array, cand_vals: jax.Array) -> jax.Array:
+    """Map samples to candidate buckets: [N, F], [F, B] -> [N, F] int32.
+
+    bucket(x) = #candidates with value < x  (side='left' on an ascending
+    grid), giving ``x > cand[f, b] <=> bucket(x) > b`` for every b.
+    Values land in [0, B] (B+1 buckets).
+    """
+    def per_feature(cands, col):
+        return jnp.searchsorted(cands, col, side="left").astype(jnp.int32)
+    return jax.vmap(per_feature, in_axes=(0, 1), out_axes=1)(cand_vals, X)

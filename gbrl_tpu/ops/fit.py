@@ -1,0 +1,254 @@
+"""Tree fitting as level-synchronous histogram reductions (jit-compatible).
+
+TPU-native redesign of the reference fitter (src/cpp/fitter.cpp):
+
+Instead of per-node sample-index lists walked by OpenMP threads over
+candidates (fitter.cpp:263-484, node.cpp:187-434), we keep one per-sample
+``node_rel`` vector (which node of the current level each sample sits in) and
+compute, per depth, a dense gradient histogram over
+``(feature, node, bucket)`` with a single segment-sum.  Both reference split
+scores collapse to expressions over per-child gradient sums and counts:
+
+- L2    (node.cpp:321-376):  n_L*||mean_L||^2 + n_R*||mean_R||^2
+                             = ||sum_L||^2/n_L + ||sum_R||^2/n_R
+- Cosine (math_ops.h:538-576): numerator   = n_L*||mean_L||^2 + n_R*||mean_R||^2
+                               denominator = the same quantity
+                               => score = sqrt(n_L*||mean_L||^2 + n_R*||mean_R||^2)
+
+so a suffix-sum over histogram buckets yields *all* candidate scores of a
+level at once.  Tie-breaking matches the reference exactly: strict ``>``
+comparisons per thread then first-thread-wins merging (fitter.cpp:338-354)
+equals a global first-index argmax.
+
+Parent-score subtraction and the >=0 acceptance rule for greedy trees
+(fitter.cpp:306-357), the per-level summed score for oblivious trees
+(fitter.cpp:411-484), the no-candidate-reuse-on-path rule (node.cpp:153-166),
+min_data_in_leaf, and feature weighting are all reproduced.
+
+Trees are emitted in perfect-binary-heap layout (see ensemble.py); un-split
+nodes are pass-through (samples descend left).  Leaf values are the masked
+mean of the *raw* gradients of the samples routed to each leaf
+(fitter.cpp:545-582).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TreeConfig
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _l2_of_sum(s: jax.Array, n: jax.Array) -> jax.Array:
+    """||sum||^2 / n with empty-side guard (0 when n == 0).
+
+    Matches the reference's mean-based form n*||sum/n||^2 with the
+    count_recip = 0 guard for empty children (node.cpp:235-236).
+    """
+    sq = jnp.sum(s * s, axis=-1)
+    safe_n = jnp.where(n > 0, n, 1.0)
+    return jnp.where(n > 0, sq / safe_n, 0.0)
+
+
+def split_scores(left_sum, left_cnt, right_sum, right_cnt, score: str,
+                 min_data_in_leaf: int) -> jax.Array:
+    """Candidate scores from child sums/counts. Shapes [..., O] and [...]."""
+    s = _l2_of_sum(left_sum, left_cnt) + _l2_of_sum(right_sum, right_cnt)
+    if score == "cosine":
+        # cosine_score returns 0 when the denominator is 0 (math_ops.h:570)
+        s = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+    if min_data_in_leaf > 0:
+        bad = (left_cnt < min_data_in_leaf) | (right_cnt < min_data_in_leaf)
+        s = jnp.where(bad, NEG_INF, s)
+    return s
+
+
+def node_scores(node_sum, node_cnt, score: str) -> jax.Array:
+    """Whole-node (parent) score: scoreL2 / scoreCosine
+    (split_candidate_generator.cpp:262-320)."""
+    s = _l2_of_sum(node_sum, node_cnt)
+    if score == "cosine":
+        s = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+    return s
+
+
+def _nan_to_neginf(x: jax.Array) -> jax.Array:
+    """NaN scores are never selected by the reference's strict > comparisons;
+    -inf reproduces that under argmax."""
+    return jnp.where(jnp.isnan(x), NEG_INF, x)
+
+
+def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
+    """Per (feature, node, bucket) gradient sums and counts.
+
+    Xb [N, F] int32 buckets, node_rel [N] int32, build_grads [N, O],
+    sample_w [N] -> (sums [F, n_nodes, n_buckets, O], cnts [F, n_nodes, n_buckets]).
+    One fused segment-sum: counts ride along as an extra output column.
+    """
+    N, F = Xb.shape
+    O = build_grads.shape[-1]
+    ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * n_nodes
+           + node_rel[:, None]) * n_buckets + Xb            # [N, F]
+    data = jnp.concatenate(
+        [build_grads * sample_w[:, None], sample_w[:, None]], axis=-1)  # [N, O+1]
+    data = jnp.broadcast_to(data[:, None, :], (N, F, O + 1)).reshape(N * F, O + 1)
+    hist = jax.ops.segment_sum(data, ids.reshape(-1),
+                               num_segments=F * n_nodes * n_buckets)
+    hist = hist.reshape(F, n_nodes, n_buckets, O + 1)
+    return hist[..., :O], hist[..., O]
+
+
+def build_tree(cfg: TreeConfig, Xb: jax.Array, cand_vals: jax.Array,
+               grads: jax.Array, build_grads: jax.Array,
+               sample_w: jax.Array, feat_w: jax.Array) -> Dict[str, jax.Array]:
+    """Fit one tree. All shapes static; depth loop unrolled (max_depth is small).
+
+    Args:
+      Xb          [N, F] int32 bucket ids in [0, n_bins] (see candidates.bucketize)
+      cand_vals   [F, B] ascending candidate thresholds
+      grads       [N, O] raw gradients (leaf values use these, fitter.cpp:570)
+      build_grads [N, O] scoring gradients (standardized for L2, fitter.cpp:58-64)
+      sample_w    [N]    0/1 mask (for padded batches); all-ones == reference
+      feat_w      [F]    per-internal-feature weight (fitter.cpp:331-332, 431-435)
+
+    Returns dict of per-tree arrays in heap layout.
+    """
+    if cfg.n_cat_features > 0:
+        raise NotImplementedError("categorical features arrive in a later phase")
+    N, F = Xb.shape
+    B = cfg.n_bins
+    D = cfg.max_depth
+    L = 1 << D
+    O = cfg.output_dim
+    oblivious = cfg.oblivious
+    score_fn = cfg.score
+
+    node_rel = jnp.zeros((N,), dtype=jnp.int32)
+    feat_arr = jnp.full((L - 1,), -1, dtype=jnp.int32)
+    thr_arr = jnp.zeros((L - 1,), dtype=jnp.float32)
+    split_arr = jnp.zeros((L - 1,), dtype=bool)
+    counts_arr = jnp.zeros((2 * L - 1,), dtype=jnp.float32)
+    # path conditions for the no-reuse rule (node.cpp:153-166)
+    path_feat = jnp.full((1, D), -1, dtype=jnp.int32)
+    path_val = jnp.zeros((1, D), dtype=jnp.float32)
+    alive = jnp.array(True)     # oblivious growth flag (fitter.cpp:458-459)
+    depth_reached = jnp.zeros((), dtype=jnp.int32)
+
+    for d in range(D):
+        n_nodes = 1 << d
+        hsums, hcnts = _level_histogram(Xb, node_rel, build_grads, sample_w,
+                                        n_nodes, B + 1)
+        # node totals: every feature's histogram sums to them; use feature 0
+        node_sum = jnp.sum(hsums[0], axis=1)          # [n_nodes, O]
+        node_cnt = jnp.sum(hcnts[0], axis=1)          # [n_nodes]
+        # suffix sums: right child of candidate b = buckets > b
+        cs = jnp.cumsum(hsums, axis=2)                # [F, n_nodes, B+1, O]
+        cc = jnp.cumsum(hcnts, axis=2)
+        right_sum = node_sum[None, :, None, :] - cs[:, :, :B, :]
+        right_cnt = node_cnt[None, :, None] - cc[:, :, :B]
+        left_sum = cs[:, :, :B, :]
+        left_cnt = cc[:, :, :B]
+        sc = split_scores(left_sum, left_cnt, right_sum, right_cnt,
+                          score_fn, cfg.min_data_in_leaf)  # [F, n_nodes, B]
+        sc = jnp.transpose(sc, (1, 0, 2))                  # [n_nodes, F, B]
+
+        # no-reuse-on-path: same (feature, value) as an ancestor condition
+        if d > 0:
+            pf = path_feat[:, :d]                          # [n_nodes, d]
+            pv = path_val[:, :d]
+            blocked = jnp.any(
+                (pf[:, :, None, None] == jnp.arange(F)[None, None, :, None])
+                & (pv[:, :, None, None] == cand_vals[None, None, :, :]),
+                axis=1)                                    # [n_nodes, F, B]
+            sc = jnp.where(blocked, NEG_INF, sc)
+
+        if oblivious:
+            total = jnp.sum(sc, axis=0)                    # [F, B]
+            total = _nan_to_neginf(total * feat_w[:, None])
+            flat = total.reshape(-1)
+            best_idx = jnp.argmax(flat)
+            best = flat[best_idx]
+            level_alive = alive & (best > NEG_INF)
+            alive = level_alive
+            f_sel = jnp.broadcast_to(
+                (best_idx // B).astype(jnp.int32), (n_nodes,))
+            b_sel = jnp.broadcast_to(
+                (best_idx % B).astype(jnp.int32), (n_nodes,))
+            do_split = jnp.broadcast_to(level_alive, (n_nodes,))
+        else:
+            adj = sc * feat_w[None, :, None]
+            if d > 0:
+                parent = node_scores(node_sum, node_cnt, score_fn)  # [n_nodes]
+                adj = adj - parent[:, None, None]
+            adj = _nan_to_neginf(adj)
+            flat = adj.reshape(n_nodes, F * B)
+            best_idx = jnp.argmax(flat, axis=1)
+            best = jnp.take_along_axis(flat, best_idx[:, None], axis=1)[:, 0]
+            f_sel = (best_idx // B).astype(jnp.int32)
+            b_sel = (best_idx % B).astype(jnp.int32)
+            # accept iff adjusted score >= 0 and the node holds samples
+            # (fitter.cpp:300-301, 357)
+            do_split = (best >= 0) & (node_cnt > 0)
+
+        v_sel = cand_vals[f_sel, b_sel]                    # [n_nodes]
+        lo = n_nodes - 1                                   # heap level start
+        feat_arr = feat_arr.at[lo:lo + n_nodes].set(
+            jnp.where(do_split, f_sel, -1))
+        thr_arr = thr_arr.at[lo:lo + n_nodes].set(
+            jnp.where(do_split, v_sel, 0.0))
+        split_arr = split_arr.at[lo:lo + n_nodes].set(do_split)
+        counts_arr = counts_arr.at[lo:lo + n_nodes].set(node_cnt)
+        depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
+
+        # route samples: x > thr  <=>  bucket > b_sel   (candidates.bucketize)
+        s_f = f_sel[node_rel]
+        s_b = b_sel[node_rel]
+        s_do = do_split[node_rel]
+        xb_sel = jnp.take_along_axis(Xb, s_f[:, None], axis=1)[:, 0]
+        go_right = s_do & (xb_sel > s_b)
+        node_rel = node_rel * 2 + go_right.astype(jnp.int32)
+
+        # children inherit the path plus the new condition
+        rep = jnp.repeat(jnp.arange(n_nodes), 2)
+        path_feat = path_feat[rep].at[:, d].set(
+            jnp.where(do_split, f_sel, -1)[rep])
+        path_val = path_val[rep].at[:, d].set(
+            jnp.where(do_split, v_sel, jnp.nan)[rep])
+
+    # leaf values = masked mean of raw gradients (fitter.cpp:545-582)
+    wg = jnp.concatenate([grads * sample_w[:, None], sample_w[:, None]], axis=-1)
+    leaf = jax.ops.segment_sum(wg, node_rel, num_segments=L)
+    leaf_cnt = leaf[:, O]
+    safe = jnp.where(leaf_cnt > 0, leaf_cnt, 1.0)
+    leaf_values = jnp.where(leaf_cnt[:, None] > 0, leaf[:, :O] / safe[:, None], 0.0)
+    counts_arr = counts_arr.at[L - 1:].set(leaf_cnt)
+
+    return dict(
+        feat=feat_arr,
+        thr=thr_arr,
+        cat_code=jnp.full((L - 1,), -1, dtype=jnp.int32),
+        is_split=split_arr,
+        is_numeric=jnp.ones((L - 1,), dtype=bool),
+        leaf_values=leaf_values,
+        counts=counts_arr,
+        depth=depth_reached,
+    )
+
+
+def standardize_l2(build_grads: jax.Array, sample_w: jax.Array) -> jax.Array:
+    """Per-column standardization used by the L2 score
+    (fitter.cpp:58-64: center then divide by sqrt(var/(n-1)) ).
+
+    Zero-variance columns divide by 1 instead of producing the reference's
+    NaN cascade (documented deviation; it only made every split score NaN).
+    """
+    n = jnp.sum(sample_w)
+    mean = jnp.sum(build_grads * sample_w[:, None], axis=0) / jnp.maximum(n, 1.0)
+    centered = (build_grads - mean[None, :]) * sample_w[:, None]
+    var = jnp.sum(centered * centered, axis=0) / jnp.maximum(n - 1.0, 1.0)
+    std = jnp.sqrt(var)
+    std = jnp.where(std > 0, std, 1.0)
+    return centered / std[None, :]
