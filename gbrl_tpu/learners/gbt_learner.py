@@ -1,0 +1,390 @@
+"""GBTLearner: single-ensemble learner (reference: gbrl/learners/gbt_learner.py:43-581).
+
+Owns one Ensemble pytree and drives the jit'd boosting/prediction programs.
+Replaces the reference's pybind ``GBRL_CPP`` handle; checkpointing uses a
+single .npz + JSON sidecar instead of the versioned binary format
+(gbrl.cpp:1130-1252) and supports training continuation after load.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TreeConfig
+from ..ensemble import (Ensemble, ensemble_from_numpy, ensemble_to_numpy,
+                        ensure_capacity, init_ensemble)
+from ..optimizers import OptimizerSpec, adam_delta
+from ..ops.boosting import boost_step, fit_loop, predict_sgd
+from ..common.utils import (CategoryVocab, NumericalData, ensure_2d,
+                            get_index_mapping, is_torch, preprocess_features,
+                            to_numpy, validate_array)
+from .base import BaseLearner
+
+SAVE_SUFFIX = ".gbrl_model"
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _predict_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree,
+                 stop_tree):
+    preds = predict_sgd(cfg, ens, Xn, specs, start_tree, stop_tree)
+    for spec in specs:
+        if spec.algo == "Adam":
+            preds = preds - adam_delta(cfg, ens, Xn, spec, start_tree,
+                                       stop_tree)
+    return preds
+
+
+class GBTLearner(BaseLearner):
+    def __init__(self, input_dim: int, output_dim: int, tree_struct: Dict,
+                 optimizers: Union[Dict, List[Dict], None],
+                 params: Dict = None, verbose: int = 0, device: str = "tpu",
+                 policy_dim: int = 0, name: str = "GBRL"):
+        super().__init__(input_dim, output_dim, tree_struct, optimizers,
+                         params, verbose, device)
+        self.learner_name = name
+        if policy_dim:
+            self.cfg = self.cfg.replace(policy_dim=policy_dim)
+        self.ens: Optional[Ensemble] = None
+        self.specs: Tuple[OptimizerSpec, ...] = ()
+        self.feature_weights = np.ones(input_dim, dtype=np.float32)
+        fw = self.params.get("feature_weights")
+        if fw is not None:
+            fw = np.asarray(fw, dtype=np.float32).reshape(-1)
+            assert len(fw) == input_dim, \
+                "feature weights dim must equal input dim"
+            assert (fw >= 0).all(), "feature weights must be non-negative"
+            self.feature_weights = fw
+        self.vocab: Optional[CategoryVocab] = None
+        self._mapping_set = False
+        self.num_mask = np.ones(input_dim, dtype=bool)   # original-order mask
+        self.total_iterations = 0
+        self.student_model: Optional["GBTLearner"] = None
+
+    # ------------------------------------------------------------------ setup
+    def reset(self) -> None:
+        if self.optimizers is not None:
+            self.specs = tuple(OptimizerSpec.from_dict(o)
+                               for o in self.optimizers)
+            self._validate_specs()
+        self.ens = init_ensemble(self.cfg)
+        self._mapping_set = False
+        self.total_iterations = 0
+
+    def _validate_specs(self) -> None:
+        """Column-range validation (reference: gbrl.cpp:452-525)."""
+        assert len(self.specs) <= self.output_dim, \
+            "number of optimizers must be <= output_dim"
+        for s in self.specs:
+            assert 0 <= s.start_idx < s.stop_idx <= self.output_dim, \
+                f"optimizer range [{s.start_idx}, {s.stop_idx}) invalid for " \
+                f"output_dim {self.output_dim}"
+
+    def set_feature_mapping(self, num_mask: np.ndarray) -> None:
+        """Record which original columns are numeric (first-step lazy setup,
+        reference: gbt_learner.py:124-128, gbrl.cpp:271-316)."""
+        num_mask = np.asarray(num_mask, dtype=bool)
+        assert len(num_mask) == self.input_dim
+        self.num_mask = num_mask
+        n_num = int(num_mask.sum())
+        n_cat = self.input_dim - n_num
+        self.cfg = self.cfg.replace(n_num_features=n_num, n_cat_features=n_cat)
+        if n_cat > 0 and self.vocab is None:
+            self.vocab = CategoryVocab(n_cat)
+        self._mapping_set = True
+
+    def _internal_feature_weights(self) -> jnp.ndarray:
+        """Per-internal-feature weights in [num block | cat block] order.
+
+        Maps through the original-column positions for both grow policies
+        (the reference maps only for oblivious, fitter.cpp:431-435, and
+        indexes greedily by internal position, fitter.cpp:331-332 — an
+        inconsistency that only differs on mixed num/cat inputs)."""
+        order = np.concatenate([np.where(self.num_mask)[0],
+                                np.where(~self.num_mask)[0]])
+        return jnp.asarray(self.feature_weights[order])
+
+    def _infer_mapping_from(self, inputs) -> None:
+        if self._mapping_set:
+            return
+        _, num_mask = get_index_mapping(inputs)
+        if len(num_mask) != self.input_dim:
+            # tuple input or already-split data: assume numeric-first layout
+            num, cat = preprocess_features(inputs)
+            n_num = 0 if num is None else num.shape[1]
+            num_mask = np.zeros(self.input_dim, dtype=bool)
+            num_mask[:n_num] = True
+        self.set_feature_mapping(num_mask)
+
+    def _disambiguate_1d(self, inputs):
+        """1D input of length input_dim is one sample; otherwise it is a
+        column of input_dim == 1 (binding.cpp:820-930)."""
+        if isinstance(inputs, tuple):
+            return inputs
+        arr = inputs
+        nd = arr.ndim if hasattr(arr, "ndim") else np.asarray(arr).ndim
+        if nd == 1:
+            n = len(arr)
+            if n == self.input_dim and self.input_dim > 1:
+                return arr.reshape(1, -1) if hasattr(arr, "reshape") else \
+                    np.asarray(arr).reshape(1, -1)
+            return arr.reshape(-1, 1) if hasattr(arr, "reshape") else \
+                np.asarray(arr).reshape(-1, 1)
+        return inputs
+
+    def _prepare(self, inputs, grow_vocab: bool):
+        """inputs -> (Xn [N, Fn] jnp, Xc codes [N, Fc] jnp | None)."""
+        inputs = self._disambiguate_1d(inputs)
+        num, cat = preprocess_features(inputs)
+        self._infer_mapping_from(inputs)
+        if num is None:
+            num = np.zeros((cat.shape[0], 0), dtype=np.float32)
+        Xn = jnp.asarray(num)
+        Xc = None
+        if cat is not None and cat.shape[1] > 0:
+            codes = self.vocab.encode(cat, grow=grow_vocab)
+            Xc = jnp.asarray(codes)
+        return Xn, Xc
+
+    # ------------------------------------------------------------------ train
+    def step(self, inputs: NumericalData, grads: NumericalData) -> None:
+        """One boosting iteration on per-sample gradients
+        (reference: gbt_learner.py:105-148 -> GBRL::step -> Fitter::step_cpu)."""
+        assert self.ens is not None, "call reset() first"
+        Xn, Xc = self._prepare(inputs, grow_vocab=True)
+        n = int(Xn.shape[0]) if Xn.shape[1] > 0 else int(Xc.shape[0])
+        if isinstance(grads, tuple):
+            arrs = [to_numpy(gr).reshape(n, -1) for gr in grads]
+            grads = np.concatenate(arrs, axis=1)
+        g = to_numpy(grads).reshape(n, -1)
+        assert g.shape[1] == self.output_dim, \
+            f"grads dim {g.shape[1]} != output_dim {self.output_dim}"
+        self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + 1)
+        self.ens = boost_step(self.cfg, self.ens, Xn, jnp.asarray(g),
+                              self._internal_feature_weights())
+        self.total_iterations += 1
+
+    def fit(self, features: NumericalData, targets: NumericalData,
+            iterations: int, shuffle: bool = True,
+            loss_type: str = "MultiRMSE", seed: int = 42) -> float:
+        """Supervised multi-iteration fit (reference: gbt_learner.py:150-183,
+        GBRL::fit gbrl.cpp:983-1104: SGD-only, host-side shuffle,
+        bias = mean(targets), cycling mini-batches)."""
+        assert self.ens is not None, "call reset() first"
+        assert loss_type == "MultiRMSE", "only MultiRMSE is implemented"
+        for s in self.specs:
+            if s.algo == "Adam":
+                raise RuntimeError(
+                    "Adam optimizer not supported in fit function. Use SGD")
+        num, cat = preprocess_features(features)
+        if cat is not None:
+            raise NotImplementedError(
+                "categorical supervised fit arrives with the categorical phase")
+        self._infer_mapping_from(features)
+        y = ensure_2d(to_numpy(targets))
+        X = num
+        N = X.shape[0]
+        if shuffle:
+            perm = np.random.default_rng(seed).permutation(N)
+            X, y = X[perm], y[perm]
+        bs = min(self.cfg.batch_size, N)
+        n_pad = ((N + bs - 1) // bs) * bs
+        Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
+        yp = np.zeros((n_pad, y.shape[1]), dtype=np.float32)
+        Xp[:N], yp[:N] = X, y
+        self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + iterations)
+        self.ens = self.ens.replace(bias=jnp.asarray(y.mean(axis=0)))
+        self.ens, loss = fit_loop(self.cfg, int(iterations), self.ens,
+                                  jnp.asarray(Xp), jnp.asarray(yp),
+                                  jnp.int32(N), self.specs,
+                                  self._internal_feature_weights())
+        self.total_iterations += int(iterations)
+        return float(loss)
+
+    # -------------------------------------------------------------- inference
+    def predict(self, inputs: NumericalData, requires_grad: bool = True,
+                start_idx: int = 0, stop_idx: Optional[int] = None,
+                tensor: bool = True):
+        """Ensemble prediction over trees [start_idx, stop_idx)
+        (reference: gbt_learner.py:455-500).  Returns a torch leaf tensor
+        (requires_grad) or numpy array."""
+        assert self.ens is not None, "call reset() first"
+        Xn, Xc = self._prepare(inputs, grow_vocab=False)
+        stop = stop_idx if stop_idx else int(self.ens.capacity)
+        preds = _predict_jit(self.cfg, self.ens, Xn, self.specs,
+                             jnp.int32(start_idx), jnp.int32(stop))
+        out = np.asarray(preds)
+        if self.student_model is not None:
+            out = out + np.asarray(self.student_model.predict(
+                inputs, requires_grad=False, tensor=False)).reshape(out.shape)
+        if self.output_dim == 1:
+            out = out.reshape(-1)     # binding.cpp:282-283: 1D for out_dim 1
+        if tensor:
+            import torch as th
+            t = th.from_numpy(np.ascontiguousarray(out).copy())
+            if requires_grad:
+                t.requires_grad_(True)
+            return t
+        return out
+
+    # ----------------------------------------------------------- introspection
+    def get_iteration(self) -> int:
+        return int(self.ens.n_trees) if self.ens is not None else 0
+
+    def get_num_trees(self) -> int:
+        return int(self.ens.n_trees) if self.ens is not None else 0
+
+    def get_total_iterations(self) -> int:
+        return self.total_iterations
+
+    def get_schedule_learning_rates(self):
+        from ..optimizers import scheduler_lr
+        t = jnp.int32(self.get_iteration())
+        lrs = [float(scheduler_lr(s, t)) for s in self.specs]
+        return lrs[0] if len(lrs) == 1 else tuple(lrs)
+
+    def set_bias(self, bias) -> None:
+        b = to_numpy(bias).reshape(-1)
+        assert len(b) == self.output_dim, \
+            f"bias length {len(b)} != output_dim {self.output_dim}"
+        self.ens = self.ens.replace(bias=jnp.asarray(b))
+
+    def get_bias(self) -> np.ndarray:
+        return np.asarray(self.ens.bias)
+
+    def set_feature_weights(self, feature_weights) -> None:
+        if np.isscalar(feature_weights):
+            fw = np.full(self.input_dim, feature_weights, dtype=np.float32)
+        else:
+            fw = to_numpy(feature_weights).reshape(-1)
+        assert len(fw) == self.input_dim, \
+            "feature weights dim must equal input dim"
+        assert (fw >= 0).all(), "feature weights must be non-negative"
+        self.feature_weights = fw
+
+    def get_feature_weights(self) -> np.ndarray:
+        return self.feature_weights.copy()
+
+    def get_device(self) -> str:
+        return self.device
+
+    def print_ensemble_metadata(self) -> None:
+        c = self.cfg
+        print(f"GBRL-TPU ensemble: trees={self.get_num_trees()} "
+              f"output_dim={c.output_dim} max_depth={c.max_depth} "
+              f"n_bins={c.n_bins} policy={c.grow_policy} "
+              f"score={c.split_score_func} generator={c.generator_type} "
+              f"cv={c.use_control_variates}")
+
+    def print_tree(self, tree_idx: int) -> None:
+        from ..utils.introspection import format_tree
+        print(format_tree(self.cfg, self.ens, tree_idx))
+
+    def plot_tree(self, tree_idx: int, filename: str) -> None:
+        from ..utils.introspection import plot_tree
+        plot_tree(self.cfg, self.ens, tree_idx, filename)
+
+    def tree_shap(self, tree_idx: int, features) -> np.ndarray:
+        from ..ops.shap import tree_shap_values
+        Xn, Xc = self._prepare(features, grow_vocab=False)
+        return np.asarray(tree_shap_values(self.cfg, self.ens, int(tree_idx),
+                                           Xn, Xc))
+
+    def shap(self, features) -> np.ndarray:
+        from ..ops.shap import ensemble_shap_values
+        Xn, Xc = self._prepare(features, grow_vocab=False)
+        return np.asarray(ensemble_shap_values(self.cfg, self.ens, Xn, Xc))
+
+    # ------------------------------------------------------------- checkpoint
+    def save(self, filename: str) -> None:
+        filename = _with_suffix(filename)
+        state = ensemble_to_numpy(self.ens)
+        meta = dict(
+            input_dim=self.input_dim, output_dim=self.output_dim,
+            tree_struct=self.tree_struct, params={
+                k: v for k, v in self.params.items()
+                if k != "feature_weights"},
+            optimizers=self.optimizers, verbose=self.verbose,
+            device=self.device, total_iterations=self.total_iterations,
+            num_mask=self.num_mask.tolist(),
+            mapping_set=self._mapping_set,
+            vocab=self.vocab.to_state() if self.vocab else None,
+        )
+        with open(filename, "wb") as f:
+            np.savez_compressed(
+                f, __meta__=np.frombuffer(
+                    json.dumps(meta).encode(), dtype=np.uint8),
+                feature_weights=self.feature_weights, **state)
+
+    @classmethod
+    def load(cls, filename: str, device: str = "tpu") -> "GBTLearner":
+        filename = _with_suffix(filename)
+        data = np.load(filename, allow_pickle=False)
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        learner = cls(input_dim=meta["input_dim"],
+                      output_dim=meta["output_dim"],
+                      tree_struct=meta["tree_struct"],
+                      optimizers=meta["optimizers"], params=meta["params"],
+                      verbose=meta["verbose"], device=device)
+        learner.reset()
+        arrs = {k: data[k] for k in
+                ("feat", "thr", "cat_code", "is_split", "is_numeric",
+                 "leaf_values", "counts", "depths", "bias", "n_trees")}
+        learner.ens = ensemble_from_numpy(arrs)
+        learner.feature_weights = data["feature_weights"].copy()
+        learner.total_iterations = meta["total_iterations"]
+        if meta["mapping_set"]:
+            learner.set_feature_mapping(np.asarray(meta["num_mask"], bool))
+        if meta["vocab"] is not None:
+            learner.vocab = CategoryVocab.from_state(meta["vocab"])
+        return learner
+
+    def export(self, filename: str, modelname: Optional[str] = None) -> None:
+        """Self-contained C-header inference export (types.cpp:409+)."""
+        from ..utils.c_export import export_ensemble_header
+        export_ensemble_header(self.cfg, self.ens, filename,
+                               modelname or "gbrl_model")
+
+    def distil(self, obs, targets, params: Dict, verbose: int = 0):
+        """Train a compact student on this ensemble's outputs and swap it in
+        (reference: gbt_learner.py:502-551)."""
+        student_struct = dict(self.tree_struct)
+        student_struct["max_depth"] = params.get(
+            "max_depth", student_struct.get("max_depth", 4))
+        lr = params.get("lr", 1.0)
+        student = GBTLearner(
+            self.input_dim, self.output_dim, student_struct,
+            [dict(algo="SGD", init_lr=lr, start_idx=0,
+                  stop_idx=self.output_dim, scheduler="Const")],
+            {k: v for k, v in self.params.items() if k != "feature_weights"},
+            verbose, self.device)
+        student.reset()
+        loss = student.fit(obs, targets,
+                           params.get("distil_budget", 1000), shuffle=False)
+        self.__dict__.update(student.__dict__)
+        return loss, params
+
+    def __copy__(self) -> "GBTLearner":
+        c = GBTLearner(self.input_dim, self.output_dim, dict(self.tree_struct),
+                       [dict(o) for o in self.optimizers] if self.optimizers
+                       else None, dict(self.params), self.verbose, self.device)
+        c.cfg = self.cfg
+        c.specs = self.specs
+        c.ens = self.ens          # pytrees are immutable; safe to share
+        c.feature_weights = self.feature_weights.copy()
+        c.num_mask = self.num_mask.copy()
+        c._mapping_set = self._mapping_set
+        c.vocab = (CategoryVocab.from_state(self.vocab.to_state())
+                   if self.vocab else None)
+        c.total_iterations = self.total_iterations
+        return c
+
+
+def _with_suffix(filename: str) -> str:
+    return filename if filename.endswith(SAVE_SUFFIX) else filename + SAVE_SUFFIX
