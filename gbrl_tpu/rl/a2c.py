@@ -1,0 +1,107 @@
+"""A2C with shared policy/value GBT, Adam leaf optimizer and control
+variates (BASELINE config 4)."""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import torch as th
+from torch.distributions import Categorical
+
+from ..models.actor_critic import ActorCritic
+from .buffers import RolloutBuffer
+
+
+class A2C:
+    def __init__(self, env, tree_struct: Dict = None, params: Dict = None,
+                 policy_lr: float = 0.1, value_lr: float = 0.01,
+                 policy_algo: str = "SGD", n_steps: int = 32,
+                 gamma: float = 0.99, gae_lambda: float = 1.0,
+                 ent_coef: float = 0.0, vf_coef: float = 0.5,
+                 control_variates: bool = False,
+                 normalize_advantage: bool = False,
+                 log_interval: int = 0, device: str = "tpu"):
+        self.env = env
+        self.n_envs = env.num_envs
+        obs_dim = int(np.prod(env.single_observation_space.shape))
+        n_actions = int(env.single_action_space.n)
+        self.obs_dim, self.n_actions = obs_dim, n_actions
+        out_dim = n_actions + 1
+        tree_struct = dict(tree_struct or dict(
+            max_depth=4, n_bins=256, min_data_in_leaf=0, par_th=2,
+            grow_policy="oblivious"))
+        params = dict(params or dict(split_score_func="cosine",
+                                     generator_type="Quantile"))
+        params["control_variates"] = control_variates
+        self.model = ActorCritic(
+            tree_struct=tree_struct, input_dim=obs_dim, output_dim=out_dim,
+            policy_optimizer={"policy_algo": policy_algo,
+                              "policy_lr": policy_lr,
+                              "start_idx": 0, "stop_idx": n_actions},
+            value_optimizer={"value_algo": "SGD", "value_lr": value_lr,
+                             "start_idx": n_actions, "stop_idx": out_dim},
+            shared_tree_struct=True, params=params, device=device)
+        self.n_steps = n_steps
+        self.gamma = gamma
+        self.gae_lambda = gae_lambda
+        self.ent_coef = ent_coef
+        self.vf_coef = vf_coef
+        self.normalize_advantage = normalize_advantage
+        self.log_interval = log_interval
+        self.episode_rewards = []
+        self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
+
+    def learn(self, total_timesteps: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        obs, _ = self.env.reset(seed=seed)
+        dones = np.zeros(self.n_envs, dtype=np.float32)
+        buffer = RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
+                               self.gamma, self.gae_lambda)
+        steps, it = 0, 0
+        while steps < total_timesteps:
+            for _ in range(self.n_steps):
+                theta, value = self.model(obs, requires_grad=False)
+                dist = Categorical(logits=theta)
+                actions = dist.sample()
+                log_probs = dist.log_prob(actions).numpy()
+                a_np = actions.numpy()
+                next_obs, rewards, terms, truncs, _ = self.env.step(a_np)
+                done_now = np.logical_or(terms, truncs).astype(np.float32)
+                buffer.add(obs, a_np, rewards, dones,
+                           value.detach().numpy().reshape(-1), log_probs)
+                self._ep_ret += rewards
+                for i in range(self.n_envs):
+                    if done_now[i]:
+                        self.episode_rewards.append(self._ep_ret[i])
+                        self._ep_ret[i] = 0.0
+                obs, dones = next_obs, done_now
+            _, last_value = self.model(obs, requires_grad=False)
+            buffer.compute_returns(last_value.detach().numpy().reshape(-1),
+                                   dones)
+            b_obs, b_act, _, adv, ret, _ = buffer.flat()
+            theta, values = self.model(b_obs, requires_grad=True)
+            dist = Categorical(logits=theta)
+            adv_t = th.as_tensor(adv)
+            if self.normalize_advantage:
+                adv_t = (adv_t - adv_t.mean()) / (adv_t.std() + 1e-8)
+            log_prob = dist.log_prob(th.as_tensor(b_act))
+            policy_loss = -(adv_t * log_prob).mean()
+            entropy_loss = -dist.entropy().mean()
+            (policy_loss + self.ent_coef * entropy_loss).backward()
+            value_loss = self.vf_coef * 0.5 * (
+                (th.as_tensor(ret) - values) ** 2).mean()
+            value_loss.backward()
+            self.model.step()
+            steps += self.n_steps * self.n_envs
+            it += 1
+            if self.log_interval and it % self.log_interval == 0:
+                mean100 = (np.mean(self.episode_rewards[-100:])
+                           if self.episode_rewards else float("nan"))
+                print(f"iter {it} steps {steps} trees "
+                      f"{self.model.get_num_trees()} ep_rew_mean {mean100:.1f}")
+        return self
+
+    def mean_reward(self, last: int = 100) -> float:
+        if not self.episode_rewards:
+            return float("nan")
+        return float(np.mean(self.episode_rewards[-last:]))

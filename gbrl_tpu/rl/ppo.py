@@ -1,0 +1,148 @@
+"""PPO with a shared policy/value GBT ensemble (BASELINE config 3).
+
+Matches the GBRL paper setup: one ActorCritic model whose policy columns and
+value column carry separate SGD optimizers; every PPO minibatch update fits
+exactly one tree from the clipped-surrogate + value-loss gradients harvested
+through the torch facade (the same integration shape as the reference's
+GBRL_SB3 companion repo).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import torch as th
+from torch.distributions import Categorical
+
+from ..models.actor_critic import ActorCritic
+from .buffers import RolloutBuffer
+
+
+class PPO:
+    def __init__(self, env, tree_struct: Dict = None, params: Dict = None,
+                 policy_lr: float = 0.17, value_lr: float = 0.01,
+                 n_steps: int = 512, batch_size: int = 512,
+                 n_epochs: int = 4, gamma: float = 0.99,
+                 gae_lambda: float = 0.95, clip_range: float = 0.2,
+                 ent_coef: float = 0.0, vf_coef: float = 0.5,
+                 max_policy_grad_norm: Optional[float] = None,
+                 max_value_grad_norm: Optional[float] = None,
+                 normalize_advantage: bool = True,
+                 log_interval: int = 0, device: str = "tpu",
+                 total_iterations: Optional[int] = None):
+        self.env = env
+        self.n_envs = env.num_envs
+        obs_dim = int(np.prod(env.single_observation_space.shape))
+        n_actions = int(env.single_action_space.n)
+        self.obs_dim = obs_dim
+        self.n_actions = n_actions
+        out_dim = n_actions + 1
+        tree_struct = dict(tree_struct or dict(
+            max_depth=4, n_bins=256, min_data_in_leaf=0, par_th=2,
+            grow_policy="greedy"))
+        params = dict(params or dict(split_score_func="cosine",
+                                     generator_type="Quantile"))
+        self.model = ActorCritic(
+            tree_struct=tree_struct, input_dim=obs_dim, output_dim=out_dim,
+            policy_optimizer={"policy_algo": "SGD", "policy_lr": policy_lr,
+                              "start_idx": 0, "stop_idx": n_actions},
+            value_optimizer={"value_algo": "SGD", "value_lr": value_lr,
+                             "start_idx": n_actions, "stop_idx": out_dim},
+            shared_tree_struct=True, params=params, device=device)
+        self.n_steps = n_steps
+        self.batch_size = batch_size
+        self.n_epochs = n_epochs
+        self.gamma = gamma
+        self.gae_lambda = gae_lambda
+        self.clip_range = clip_range
+        self.ent_coef = ent_coef
+        self.vf_coef = vf_coef
+        self.max_policy_grad_norm = max_policy_grad_norm
+        self.max_value_grad_norm = max_value_grad_norm
+        self.normalize_advantage = normalize_advantage
+        self.log_interval = log_interval
+        self.episode_rewards = []
+        self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
+
+    # -------------------------------------------------------------- rollout
+    def _policy_value(self, obs: np.ndarray):
+        theta, value = self.model(obs, requires_grad=False, tensor=True)
+        return theta, value
+
+    def collect_rollout(self, buffer: RolloutBuffer, obs, dones, rng):
+        for _ in range(self.n_steps):
+            theta, value = self._policy_value(obs)
+            dist = Categorical(logits=theta)
+            actions = dist.sample()
+            log_probs = dist.log_prob(actions).numpy()
+            actions_np = actions.numpy()
+            next_obs, rewards, terms, truncs, _ = self.env.step(actions_np)
+            done_now = np.logical_or(terms, truncs).astype(np.float32)
+            buffer.add(obs, actions_np, rewards, dones,
+                       value.detach().numpy().reshape(-1), log_probs)
+            self._ep_ret += rewards
+            for i in range(self.n_envs):
+                if done_now[i]:
+                    self.episode_rewards.append(self._ep_ret[i])
+                    self._ep_ret[i] = 0.0
+            obs, dones = next_obs, done_now
+        _, last_value = self._policy_value(obs)
+        buffer.compute_returns(last_value.detach().numpy().reshape(-1), dones)
+        return obs, dones
+
+    # --------------------------------------------------------------- update
+    def update(self, buffer: RolloutBuffer, rng):
+        obs, actions, old_log_probs, advantages, returns, _ = buffer.flat()
+        n = len(obs)
+        for _ in range(self.n_epochs):
+            perm = rng.permutation(n)
+            for start in range(0, n, self.batch_size):
+                mb = perm[start:start + self.batch_size]
+                if len(mb) < 2:
+                    continue
+                theta, values = self.model(obs[mb], requires_grad=True)
+                dist = Categorical(logits=theta)
+                a = th.as_tensor(actions[mb])
+                log_prob = dist.log_prob(a)
+                adv = th.as_tensor(advantages[mb])
+                if self.normalize_advantage:
+                    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+                ratio = th.exp(log_prob - th.as_tensor(old_log_probs[mb]))
+                pg1 = adv * ratio
+                pg2 = adv * th.clamp(ratio, 1 - self.clip_range,
+                                     1 + self.clip_range)
+                policy_loss = -th.min(pg1, pg2).mean()
+                entropy_loss = -dist.entropy().mean()
+                (policy_loss + self.ent_coef * entropy_loss).backward()
+                value_loss = self.vf_coef * 0.5 * ((
+                    th.as_tensor(returns[mb]) - values) ** 2).mean()
+                value_loss.backward()
+                self.model.step(
+                    policy_grad_clip=self.max_policy_grad_norm,
+                    value_grad_clip=self.max_value_grad_norm)
+
+    # ---------------------------------------------------------------- learn
+    def learn(self, total_timesteps: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        obs, _ = self.env.reset(seed=seed)
+        dones = np.zeros(self.n_envs, dtype=np.float32)
+        buffer = RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
+                               self.gamma, self.gae_lambda)
+        steps = 0
+        it = 0
+        while steps < total_timesteps:
+            obs, dones = self.collect_rollout(buffer, obs, dones, rng)
+            self.update(buffer, rng)
+            steps += self.n_steps * self.n_envs
+            it += 1
+            if self.log_interval and it % self.log_interval == 0:
+                mean100 = (np.mean(self.episode_rewards[-100:])
+                           if self.episode_rewards else float("nan"))
+                print(f"iter {it} steps {steps} trees "
+                      f"{self.model.get_num_trees()} ep_rew_mean {mean100:.1f}")
+        return self
+
+    def mean_reward(self, last: int = 100) -> float:
+        if not self.episode_rewards:
+            return float("nan")
+        return float(np.mean(self.episode_rewards[-last:]))
