@@ -41,6 +41,17 @@ def _predict_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree,
     return preds
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _predict_delta_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree):
+    """Bias-free sum of SGD tree updates over [start_tree, n_trees) — the
+    incremental part added on top of a cached prediction."""
+    from ..optimizers import sgd_coeff
+    from ..ops.predict import weighted_leaf_sum
+    coeff = sgd_coeff(specs, ens.capacity, cfg.output_dim, ens.n_trees,
+                      start_tree, ens.capacity)
+    return weighted_leaf_sum(cfg, ens, Xn, coeff)
+
+
 class GBTLearner(BaseLearner):
     def __init__(self, input_dim: int, output_dim: int, tree_struct: Dict,
                  optimizers: Union[Dict, List[Dict], None],
@@ -66,6 +77,7 @@ class GBTLearner(BaseLearner):
         self.num_mask = np.ones(input_dim, dtype=bool)   # original-order mask
         self.total_iterations = 0
         self.student_model: Optional["GBTLearner"] = None
+        self._pred_cache = None   # (input-hash, n_trees, preds) for SGD delta
 
     # ------------------------------------------------------------------ setup
     def reset(self) -> None:
@@ -76,6 +88,7 @@ class GBTLearner(BaseLearner):
         self.ens = init_ensemble(self.cfg)
         self._mapping_set = False
         self.total_iterations = 0
+        self._pred_cache = None
 
     def _validate_specs(self) -> None:
         """Column-range validation (reference: gbrl.cpp:452-525)."""
@@ -138,8 +151,8 @@ class GBTLearner(BaseLearner):
                 np.asarray(arr).reshape(-1, 1)
         return inputs
 
-    def _prepare(self, inputs, grow_vocab: bool):
-        """inputs -> (Xn [N, Fn] jnp, Xc codes [N, Fc] jnp | None)."""
+    def _prepare(self, inputs, grow_vocab: bool, with_key: bool = False):
+        """inputs -> (Xn [N, Fn] jnp, Xc codes [N, Fc] jnp | None[, key])."""
         inputs = self._disambiguate_1d(inputs)
         num, cat = preprocess_features(inputs)
         self._infer_mapping_from(inputs)
@@ -147,10 +160,17 @@ class GBTLearner(BaseLearner):
             num = np.zeros((cat.shape[0], 0), dtype=np.float32)
         Xn = jnp.asarray(num)
         Xc = None
+        codes = None
         if cat is not None and cat.shape[1] > 0:
             codes = self.vocab.encode(cat, grow=grow_vocab)
             Xc = jnp.asarray(codes)
-        return Xn, Xc
+        if not with_key:
+            return Xn, Xc
+        import hashlib
+        h = hashlib.blake2b(num.tobytes(), digest_size=16)
+        if codes is not None:
+            h.update(codes.tobytes())
+        return Xn, Xc, h.digest()
 
     # ------------------------------------------------------------------ train
     def step(self, inputs: NumericalData, grads: NumericalData) -> None:
@@ -213,13 +233,37 @@ class GBTLearner(BaseLearner):
                 tensor: bool = True):
         """Ensemble prediction over trees [start_idx, stop_idx)
         (reference: gbt_learner.py:455-500).  Returns a torch leaf tensor
-        (requires_grad) or numpy array."""
+        (requires_grad) or numpy array.
+
+        Full-range SGD predictions on a repeated input are served
+        incrementally: only trees added since the cached call are evaluated
+        (leaf values are immutable once fit, so cache + delta is exact).
+        This makes the predict-inside-training-loop pattern O(new trees)."""
         assert self.ens is not None, "call reset() first"
-        Xn, Xc = self._prepare(inputs, grow_vocab=False)
-        stop = stop_idx if stop_idx else int(self.ens.capacity)
-        preds = _predict_jit(self.cfg, self.ens, Xn, self.specs,
-                             jnp.int32(start_idx), jnp.int32(stop))
-        out = np.asarray(preds)
+        Xn, Xc, key = self._prepare(inputs, grow_vocab=False, with_key=True)
+        n_trees = int(self.ens.n_trees)
+        cacheable = ((start_idx in (0, None)) and (stop_idx in (None, 0))
+                     and Xc is None
+                     and all(s.algo == "SGD" for s in self.specs))
+        preds = None
+        if cacheable and self._pred_cache is not None:
+            ckey, cn, cpred = self._pred_cache
+            if ckey == key and cn <= n_trees and \
+                    cpred.shape[0] == Xn.shape[0]:
+                if cn == n_trees:
+                    preds = cpred
+                else:
+                    delta = _predict_delta_jit(self.cfg, self.ens, Xn,
+                                               self.specs, jnp.int32(cn))
+                    preds = cpred + np.asarray(delta)
+        if preds is None:
+            stop = stop_idx if stop_idx else int(self.ens.capacity)
+            preds = np.asarray(_predict_jit(
+                self.cfg, self.ens, Xn, self.specs,
+                jnp.int32(start_idx or 0), jnp.int32(stop)))
+        if cacheable:
+            self._pred_cache = (key, n_trees, preds)
+        out = preds
         if self.student_model is not None:
             out = out + np.asarray(self.student_model.predict(
                 inputs, requires_grad=False, tensor=False)).reshape(out.shape)
@@ -254,6 +298,7 @@ class GBTLearner(BaseLearner):
         assert len(b) == self.output_dim, \
             f"bias length {len(b)} != output_dim {self.output_dim}"
         self.ens = self.ens.replace(bias=jnp.asarray(b))
+        self._pred_cache = None   # bias is baked into cached predictions
 
     def get_bias(self) -> np.ndarray:
         return np.asarray(self.ens.bias)
@@ -368,6 +413,7 @@ class GBTLearner(BaseLearner):
         loss = student.fit(obs, targets,
                            params.get("distil_budget", 1000), shuffle=False)
         self.__dict__.update(student.__dict__)
+        self._pred_cache = None
         return loss, params
 
     def __copy__(self) -> "GBTLearner":
@@ -383,6 +429,7 @@ class GBTLearner(BaseLearner):
         c.vocab = (CategoryVocab.from_state(self.vocab.to_state())
                    if self.vocab else None)
         c.total_iterations = self.total_iterations
+        c._pred_cache = None
         return c
 
 

@@ -20,7 +20,7 @@ from ..optimizers import OptimizerSpec, sgd_coeff
 from .candidates import bucketize, numerical_candidates
 from .fit import build_tree, standardize_l2
 from .loss import multirmse_grads, multirmse_loss
-from .predict import cv_momentum, weighted_leaf_sum
+from .predict import cv_momentum, single_tree_leaf_values, weighted_leaf_sum
 
 
 def write_tree(ens: Ensemble, tree: dict, idx) -> Ensemble:
@@ -53,18 +53,7 @@ def apply_control_variates(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     0/0 NaN; documented deviation).
     """
     mom = cv_momentum(cfg, ens, Xn, Xc)                       # bias-corrected
-    w = sample_w[:, None]
-    n = jnp.maximum(jnp.sum(sample_w), 1.0)
-    g_mean = jnp.sum(grads * w, axis=0) / n
-    m_mean = jnp.sum(mom * w, axis=0) / n
-    gc = (grads - g_mean[None, :]) * w
-    mc = (mom - m_mean[None, :]) * w
-    denom = jnp.maximum(n - 1.0, 1.0)
-    var = jnp.sum(mc * mc, axis=0) / denom
-    cov = jnp.sum(gc * mc, axis=0) / denom
-    alpha = jnp.where(var > 0, cov / jnp.where(var > 0, var, 1.0), 0.0)
-    alpha = jnp.clip(alpha, -1.0, 1.0)
-    adjusted = grads - alpha[None, :] * mc
+    adjusted = _cv_adjust(grads, mom, sample_w)
     # only applied when the ensemble already has trees (fitter.cpp:53-55)
     return jnp.where(ens.n_trees > 0, adjusted, grads)
 
@@ -105,10 +94,19 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
     rows are masked out.  Candidates are generated ONCE from the full dataset
     (fitter.cpp:134-151), bias is already set to mean(targets)
     (gbrl.cpp:1078-1080).  Per iteration: cycle to the next mini-batch,
-    predict with trees [0, i), MultiRMSE grads, optional control variates
+    MultiRMSE grads from cached predictions, optional control variates
     (i > 0), L2 standardization, fit + append one tree.
+
+    Predictions (and the raw CV momentum EMA) over the full dataset are
+    maintained *incrementally*: only the newly fitted tree is evaluated each
+    iteration, making the loop O(iters * N * depth) where the reference
+    re-walks the whole ensemble per batch, O(iters^2 * batch)
+    (fitter.cpp:191).  Leaf values never change after fitting, so the result
+    is identical up to f32 summation order.
     Returns (ensemble, full-dataset loss).
     """
+    from ..optimizers import scheduler_lr
+
     N_pad = Xn_pad.shape[0]
     bs = min(cfg.batch_size, N_pad)
     n_batches_f = jnp.ceil(n_samples / bs).astype(jnp.int32)
@@ -118,29 +116,77 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
     Xb_pad = bucketize(Xn_pad, cand_vals)
 
     n_trees0 = ens.n_trees
+    O = cfg.output_dim
+    beta = jnp.float32(cfg.cv_beta)
 
-    def body(i, ens):
+    # incremental state over existing trees (zeros for a fresh fit)
+    preds0 = predict_sgd(cfg, ens, Xn_pad, specs, 0, n_trees0)
+    if cfg.use_control_variates:
+        corr0 = jnp.sqrt(1.0 - jnp.power(beta, n_trees0.astype(jnp.float32)))
+        mom0 = cv_momentum(cfg, ens, Xn_pad) * jnp.where(n_trees0 > 0, corr0,
+                                                         1.0)
+    else:
+        mom0 = jnp.zeros_like(preds0)
+
+    def _lr_columns(t):
+        """-lr per output column at tree index t (SGD-only; fit rejects
+        Adam, gbrl.cpp:1006-1012)."""
+        coeff = jnp.zeros((O,), dtype=jnp.float32)
+        j = jnp.arange(O)
+        for spec in specs:
+            mask = ((j >= spec.start_idx) & (j < spec.stop_idx)
+                    ).astype(jnp.float32)
+            coeff = coeff - scheduler_lr(spec, t) * mask
+        return coeff
+
+    def body(i, carry):
+        ens, preds_full, mom_full = carry
         start = (i % n_batches_f) * bs
         Xb = jax.lax.dynamic_slice(Xb_pad, (start, 0), (bs, Xb_pad.shape[1]))
-        Xn = jax.lax.dynamic_slice(Xn_pad, (start, 0), (bs, Xn_pad.shape[1]))
         tg = jax.lax.dynamic_slice(targets_pad, (start, 0),
                                    (bs, targets_pad.shape[1]))
+        preds = jax.lax.dynamic_slice(preds_full, (start, 0), (bs, O))
         batch_n = jnp.minimum(bs, n_samples - start)
         w = (jnp.arange(bs) < batch_n).astype(jnp.float32)
 
-        preds = predict_sgd(cfg, ens, Xn, specs, 0, n_trees0 + i)
         grads, _ = multirmse_grads(preds, tg, w)
         if cfg.use_control_variates:
-            adjusted = apply_control_variates(cfg, ens, Xn, grads, w)
-            grads = jnp.where(i > 0, adjusted, grads)
+            n_trees = n_trees0 + i
+            mom_b = jax.lax.dynamic_slice(mom_full, (start, 0), (bs, O))
+            corr = 1.0 / jnp.sqrt(
+                1.0 - jnp.power(beta, n_trees.astype(jnp.float32)))
+            adjusted = _cv_adjust(grads, mom_b * corr, w)
+            grads = jnp.where((i > 0) & (n_trees > 0), adjusted, grads)
         build = standardize_l2(grads, w) if cfg.score == "l2" else grads
         tree = build_tree(cfg, Xb, cand_vals, grads, build, w, feat_w)
-        return write_tree(ens, tree, n_trees0 + i)
+        ens = write_tree(ens, tree, n_trees0 + i)
+        # incremental update: evaluate only the new tree on the full dataset
+        v_new = single_tree_leaf_values(cfg, tree, Xn_pad)       # [N_pad, O]
+        preds_full = preds_full + _lr_columns(n_trees0 + i)[None, :] * v_new
+        if cfg.use_control_variates:
+            mom_full = beta * mom_full + (1.0 - beta) * v_new
+        return ens, preds_full, mom_full
 
-    ens = jax.lax.fori_loop(0, iterations, body, ens)
-    preds = predict_sgd(cfg, ens, Xn_pad, specs, 0, n_trees0 + iterations)
-    loss = multirmse_loss(preds, targets_pad, full_w)
+    ens, preds_full, _ = jax.lax.fori_loop(0, iterations, body,
+                                           (ens, preds0, mom0))
+    loss = multirmse_loss(preds_full, targets_pad, full_w)
     return ens, loss
+
+
+def _cv_adjust(grads, mom, w):
+    """alpha-weighted momentum subtraction (fitter.cpp:610-625) given the
+    bias-corrected momentum of the batch."""
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    g_mean = jnp.sum(grads * w[:, None], axis=0) / n
+    m_mean = jnp.sum(mom * w[:, None], axis=0) / n
+    gc = (grads - g_mean[None, :]) * w[:, None]
+    mc = (mom - m_mean[None, :]) * w[:, None]
+    denom = jnp.maximum(n - 1.0, 1.0)
+    var = jnp.sum(mc * mc, axis=0) / denom
+    cov = jnp.sum(gc * mc, axis=0) / denom
+    alpha = jnp.where(var > 0, cov / jnp.where(var > 0, var, 1.0), 0.0)
+    alpha = jnp.clip(alpha, -1.0, 1.0)
+    return grads - alpha[None, :] * mc
 
 
 def _masked_candidates(cfg: TreeConfig, Xn_pad: jax.Array,

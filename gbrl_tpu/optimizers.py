@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from .config import TreeConfig
 from .ensemble import Ensemble
-from .ops.predict import chunk_leaf_indices, _chunk_size, DEFAULT_TREE_CHUNK
+from .ops.predict import (chunk_leaf_rel, _chunk_size, _leaf_onehot,
+                          DEFAULT_TREE_CHUNK, HIGHEST)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,9 +129,11 @@ def adam_delta(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     def body(carry, chunk):
         m_in, v_in, acc = carry
         feat, thr, code, spl, num, lv, act, alpha = chunk
-        leaf = chunk_leaf_indices(feat, thr, code, spl, num, Xn, Xc,
-                                  cfg.max_depth)
-        g = lv[jnp.arange(C, dtype=jnp.int32)[None, :], leaf]     # [N, C, O]
+        rel = chunk_leaf_rel(feat, thr, code, spl, num, Xn, Xc,
+                             cfg.max_depth)
+        loh = _leaf_onehot(rel, lv.shape[1])
+        g = jnp.einsum("ncl,clo->nco", loh, lv, precision=HIGHEST,
+                       preferred_element_type=jnp.float32)       # [N, C, O]
         a = act[None, :, None]                                    # [1, C, 1]
         cnt = jnp.cumsum(act)                                     # [C]
         cj = cnt[None, :, None]
