@@ -32,12 +32,12 @@ SAVE_SUFFIX = ".gbrl_model"
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _predict_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree,
-                 stop_tree):
-    preds = predict_sgd(cfg, ens, Xn, specs, start_tree, stop_tree)
+                 stop_tree, Xc=None):
+    preds = predict_sgd(cfg, ens, Xn, specs, start_tree, stop_tree, Xc)
     for spec in specs:
         if spec.algo == "Adam":
             preds = preds - adam_delta(cfg, ens, Xn, spec, start_tree,
-                                       stop_tree)
+                                       stop_tree, Xc)
     return preds
 
 
@@ -123,6 +123,17 @@ class GBTLearner(BaseLearner):
                                 np.where(~self.num_mask)[0]])
         return jnp.asarray(self.feature_weights[order])
 
+    def _n_codes(self) -> int:
+        """Static (power-of-two padded) categorical code-space bound so the
+        jit signature only changes O(log vocab) times as the vocab grows."""
+        if self.vocab is None:
+            return 0
+        mx = max((len(m) for m in self.vocab.maps), default=0)
+        n = 8
+        while n < mx:
+            n *= 2
+        return n
+
     def _infer_mapping_from(self, inputs) -> None:
         if self._mapping_set:
             return
@@ -186,8 +197,11 @@ class GBTLearner(BaseLearner):
         assert g.shape[1] == self.output_dim, \
             f"grads dim {g.shape[1]} != output_dim {self.output_dim}"
         self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + 1)
+        fw = self._internal_feature_weights()
+        n_num = self.cfg.n_num_features
+        fw_num, fw_cat = fw[:n_num], fw[n_num:]
         self.ens = boost_step(self.cfg, self.ens, Xn, jnp.asarray(g),
-                              self._internal_feature_weights())
+                              fw_num, Xc, fw_cat, self._n_codes())
         self.total_iterations += 1
 
     def fit(self, features: NumericalData, targets: NumericalData,
@@ -260,7 +274,7 @@ class GBTLearner(BaseLearner):
             stop = stop_idx if stop_idx else int(self.ens.capacity)
             preds = np.asarray(_predict_jit(
                 self.cfg, self.ens, Xn, self.specs,
-                jnp.int32(start_idx or 0), jnp.int32(stop)))
+                jnp.int32(start_idx or 0), jnp.int32(stop), Xc))
         if cacheable:
             self._pred_cache = (key, n_trees, preds)
         out = preds

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..config import TreeConfig
 from ..ensemble import Ensemble
 from ..optimizers import OptimizerSpec, sgd_coeff
-from .candidates import bucketize, numerical_candidates
+from .candidates import (bucketize, categorical_candidate_mask,
+                         numerical_candidates)
 from .fit import build_tree, standardize_l2
 from .loss import multirmse_grads, multirmse_loss
 from .predict import cv_momentum, single_tree_leaf_values, weighted_leaf_sum
@@ -58,19 +59,36 @@ def apply_control_variates(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     return jnp.where(ens.n_trees > 0, adjusted, grads)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 7))
 def boost_step(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
-               grads: jax.Array, feat_w: jax.Array) -> Ensemble:
+               grads: jax.Array, feat_w: jax.Array,
+               Xc: Optional[jax.Array] = None,
+               feat_w_cat: Optional[jax.Array] = None,
+               n_codes: int = 0) -> Ensemble:
     """One RL boosting iteration == Fitter::step_cpu (fitter.cpp:50-115):
     optional control variates -> L2 standardization -> candidate generation
-    from this batch -> fit one tree on the gradients -> append."""
-    sample_w = jnp.ones(Xn.shape[0], dtype=jnp.float32)
+    from this batch (numeric quantiles/uniform + categorical top-k by
+    gradient norm) -> fit one tree on the gradients -> append."""
+    has_num = Xn.shape[1] > 0
+    has_cat = Xc is not None
+    N = Xn.shape[0] if has_num else Xc.shape[0]
+    sample_w = jnp.ones(N, dtype=jnp.float32)
     if cfg.use_control_variates:
-        grads = apply_control_variates(cfg, ens, Xn, grads, sample_w)
+        grads = apply_control_variates(cfg, ens, Xn, grads, sample_w, Xc)
     build = standardize_l2(grads, sample_w) if cfg.score == "l2" else grads
-    cand_vals = numerical_candidates(cfg, Xn)
-    Xb = bucketize(Xn, cand_vals)
-    tree = build_tree(cfg, Xb, cand_vals, grads, build, sample_w, feat_w)
+    if has_num:
+        cand_vals = numerical_candidates(cfg, Xn)
+        Xb = bucketize(Xn, cand_vals)
+    else:
+        cand_vals, Xb = None, None
+    cat_valid = None
+    if has_cat:
+        # per-sample squared gradient norms select categorical candidates
+        # (fitter.cpp:67-70, post-control-variates)
+        norms = jnp.sum(grads * grads, axis=-1)
+        cat_valid = categorical_candidate_mask(Xc, norms, cfg.n_bins, n_codes)
+    tree = build_tree(cfg, Xb, cand_vals, grads, build, sample_w, feat_w,
+                      Xc, cat_valid, feat_w_cat)
     return write_tree(ens, tree, ens.n_trees)
 
 

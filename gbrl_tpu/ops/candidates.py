@@ -70,3 +70,27 @@ def bucketize(X: jax.Array, cand_vals: jax.Array) -> jax.Array:
     """
     cmp = cand_vals[None, :, :] < X[:, :, None]        # [N, F, B]
     return jnp.sum(cmp, axis=-1, dtype=jnp.int32)
+
+
+def categorical_candidate_mask(Xc: jax.Array, grad_norms: jax.Array,
+                               n_bins: int, n_codes: int) -> jax.Array:
+    """Select categorical split candidates: [N, Fc] codes + [N] per-sample
+    gradient norms -> valid mask [Fc, n_codes].
+
+    Mirrors split_candidate_generator.cpp:117-163: every (feature, value)
+    pair that appears is a candidate; if the number of uniques exceeds
+    n_cat_features * n_bins, keep the top ones by average gradient norm
+    (taking top-k unconditionally is equivalent: absent pairs rank -inf).
+    """
+    N, Fc = Xc.shape
+    k = min(Fc * n_bins, Fc * n_codes)
+    ids = jnp.arange(Fc, dtype=jnp.int32)[None, :] * n_codes + Xc   # [N, Fc]
+    data = jnp.stack([jnp.broadcast_to(grad_norms[:, None], (N, Fc)),
+                      jnp.ones((N, Fc), dtype=jnp.float32)], axis=-1)
+    agg = jax.ops.segment_sum(data.reshape(N * Fc, 2), ids.reshape(-1),
+                              num_segments=Fc * n_codes)
+    cnt = agg[:, 1]
+    avg = jnp.where(cnt > 0, agg[:, 0] / jnp.maximum(cnt, 1.0), -jnp.inf)
+    _, top_idx = jax.lax.top_k(avg, k)
+    sel = jnp.zeros((Fc * n_codes,), dtype=bool).at[top_idx].set(True)
+    return (sel & (cnt > 0)).reshape(Fc, n_codes)

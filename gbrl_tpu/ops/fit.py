@@ -15,10 +15,13 @@ scores collapse to expressions over per-child gradient sums and counts:
                                denominator = the same quantity
                                => score = sqrt(n_L*||mean_L||^2 + n_R*||mean_R||^2)
 
-so a suffix-sum over histogram buckets yields *all* candidate scores of a
-level at once.  Tie-breaking matches the reference exactly: strict ``>``
-comparisons per thread then first-thread-wins merging (fitter.cpp:338-354)
-equals a global first-index argmax.
+so a suffix-sum over histogram buckets yields *all* numeric candidate scores
+of a level at once; categorical candidates (``code == c`` routes right,
+node.cpp:77) read their right-child stats directly from a per-code histogram.
+Tie-breaking matches the reference exactly: strict ``>`` comparisons per
+thread then first-thread-wins merging (fitter.cpp:338-354) equals a global
+first-index argmax, with numeric candidates ordered before categorical ones
+(step_cpu generates numeric first, fitter.cpp:89-92).
 
 Parent-score subtraction and the >=0 acceptance rule for greedy trees
 (fitter.cpp:306-357), the per-level summed score for oblivious trees
@@ -32,7 +35,7 @@ mean of the *raw* gradients of the samples routed to each leaf
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -101,25 +104,44 @@ def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
     return hist[..., :O], hist[..., O]
 
 
-def build_tree(cfg: TreeConfig, Xb: jax.Array, cand_vals: jax.Array,
+def _node_stats(node_rel, build_grads, sample_w, n_nodes):
+    O = build_grads.shape[-1]
+    data = jnp.concatenate(
+        [build_grads * sample_w[:, None], sample_w[:, None]], axis=-1)
+    agg = jax.ops.segment_sum(data, node_rel, num_segments=n_nodes)
+    return agg[:, :O], agg[:, O]
+
+
+def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
+               cand_vals: Optional[jax.Array],
                grads: jax.Array, build_grads: jax.Array,
-               sample_w: jax.Array, feat_w: jax.Array) -> Dict[str, jax.Array]:
-    """Fit one tree. All shapes static; depth loop unrolled (max_depth is small).
+               sample_w: jax.Array, feat_w: jax.Array,
+               Xc: Optional[jax.Array] = None,
+               cat_valid: Optional[jax.Array] = None,
+               feat_w_cat: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+    """Fit one tree. All shapes static; depth loop unrolled (max_depth small).
 
     Args:
-      Xb          [N, F] int32 bucket ids in [0, n_bins] (see candidates.bucketize)
+      Xb          [N, F] int32 numeric bucket ids in [0, n_bins]
+                  (candidates.bucketize); None when all-categorical
       cand_vals   [F, B] ascending candidate thresholds
       grads       [N, O] raw gradients (leaf values use these, fitter.cpp:570)
       build_grads [N, O] scoring gradients (standardized for L2, fitter.cpp:58-64)
       sample_w    [N]    0/1 mask (for padded batches); all-ones == reference
-      feat_w      [F]    per-internal-feature weight (fitter.cpp:331-332, 431-435)
+      feat_w      [F]    numeric feature weights (fitter.cpp:331-332, 431-435)
+      Xc          [N, Fc] int32 categorical codes (code == c routes right)
+      cat_valid   [Fc, V] candidate mask from categorical_candidate_mask
+      feat_w_cat  [Fc]   categorical feature weights
 
     Returns dict of per-tree arrays in heap layout.
     """
-    if cfg.n_cat_features > 0:
-        raise NotImplementedError("categorical features arrive in a later phase")
-    N, F = Xb.shape
+    has_num = Xb is not None and Xb.shape[1] > 0
+    has_cat = Xc is not None and Xc.shape[1] > 0
+    N = Xb.shape[0] if has_num else Xc.shape[0]
+    F = Xb.shape[1] if has_num else 0
     B = cfg.n_bins
+    Fc = Xc.shape[1] if has_cat else 0
+    V = cat_valid.shape[1] if has_cat else 0
     D = cfg.max_depth
     L = 1 << D
     O = cfg.output_dim
@@ -129,86 +151,133 @@ def build_tree(cfg: TreeConfig, Xb: jax.Array, cand_vals: jax.Array,
     node_rel = jnp.zeros((N,), dtype=jnp.int32)
     feat_arr = jnp.full((L - 1,), -1, dtype=jnp.int32)
     thr_arr = jnp.zeros((L - 1,), dtype=jnp.float32)
+    code_arr = jnp.full((L - 1,), -1, dtype=jnp.int32)
     split_arr = jnp.zeros((L - 1,), dtype=bool)
+    isnum_arr = jnp.ones((L - 1,), dtype=bool)
     counts_arr = jnp.zeros((2 * L - 1,), dtype=jnp.float32)
     # path conditions for the no-reuse rule (node.cpp:153-166)
     path_feat = jnp.full((1, D), -1, dtype=jnp.int32)
-    path_val = jnp.zeros((1, D), dtype=jnp.float32)
+    path_val = jnp.full((1, D), jnp.nan, dtype=jnp.float32)
+    path_code = jnp.full((1, D), -1, dtype=jnp.int32)
+    path_isnum = jnp.zeros((1, D), dtype=bool)
     alive = jnp.array(True)     # oblivious growth flag (fitter.cpp:458-459)
     depth_reached = jnp.zeros((), dtype=jnp.int32)
 
     for d in range(D):
         n_nodes = 1 << d
-        hsums, hcnts = _level_histogram(Xb, node_rel, build_grads, sample_w,
-                                        n_nodes, B + 1)
-        # node totals: every feature's histogram sums to them; use feature 0
-        node_sum = jnp.sum(hsums[0], axis=1)          # [n_nodes, O]
-        node_cnt = jnp.sum(hcnts[0], axis=1)          # [n_nodes]
-        # suffix sums: right child of candidate b = buckets > b
-        cs = jnp.cumsum(hsums, axis=2)                # [F, n_nodes, B+1, O]
-        cc = jnp.cumsum(hcnts, axis=2)
-        right_sum = node_sum[None, :, None, :] - cs[:, :, :B, :]
-        right_cnt = node_cnt[None, :, None] - cc[:, :, :B]
-        left_sum = cs[:, :, :B, :]
-        left_cnt = cc[:, :, :B]
-        sc = split_scores(left_sum, left_cnt, right_sum, right_cnt,
-                          score_fn, cfg.min_data_in_leaf)  # [F, n_nodes, B]
-        sc = jnp.transpose(sc, (1, 0, 2))                  # [n_nodes, F, B]
-
-        # no-reuse-on-path: same (feature, value) as an ancestor condition
-        if d > 0:
-            pf = path_feat[:, :d]                          # [n_nodes, d]
-            pv = path_val[:, :d]
-            blocked = jnp.any(
-                (pf[:, :, None, None] == jnp.arange(F)[None, None, :, None])
-                & (pv[:, :, None, None] == cand_vals[None, None, :, :]),
-                axis=1)                                    # [n_nodes, F, B]
-            sc = jnp.where(blocked, NEG_INF, sc)
+        node_sum, node_cnt = _node_stats(node_rel, build_grads, sample_w,
+                                         n_nodes)
+        parts = []
+        if has_num:
+            hsums, hcnts = _level_histogram(Xb, node_rel, build_grads,
+                                            sample_w, n_nodes, B + 1)
+            cs = jnp.cumsum(hsums, axis=2)            # [F, n_nodes, B+1, O]
+            cc = jnp.cumsum(hcnts, axis=2)
+            right_sum = node_sum[None, :, None, :] - cs[:, :, :B, :]
+            right_cnt = node_cnt[None, :, None] - cc[:, :, :B]
+            sc = split_scores(cs[:, :, :B, :], cc[:, :, :B],
+                              right_sum, right_cnt, score_fn,
+                              cfg.min_data_in_leaf)   # [F, n_nodes, B]
+            sc = jnp.transpose(sc, (1, 0, 2))         # [n_nodes, F, B]
+            if d > 0:
+                pf = path_feat[:, :d, None, None]
+                pv = path_val[:, :d, None, None]
+                pnum = path_isnum[:, :d, None, None]
+                blocked = jnp.any(
+                    pnum
+                    & (pf == jnp.arange(F)[None, None, :, None])
+                    & (pv == cand_vals[None, None, :, :]), axis=1)
+                sc = jnp.where(blocked, NEG_INF, sc)
+            parts.append((sc * feat_w[None, :, None]).reshape(n_nodes, F * B))
+        if has_cat:
+            csums, ccnts = _level_histogram(Xc, node_rel, build_grads,
+                                            sample_w, n_nodes, V)
+            right_sum = csums                          # right = code match
+            right_cnt = ccnts
+            left_sum = node_sum[None, :, None, :] - right_sum
+            left_cnt = node_cnt[None, :, None] - right_cnt
+            scc = split_scores(left_sum, left_cnt, right_sum, right_cnt,
+                               score_fn, cfg.min_data_in_leaf)
+            scc = jnp.transpose(scc, (1, 0, 2))        # [n_nodes, Fc, V]
+            scc = jnp.where(cat_valid[None, :, :], scc, NEG_INF)
+            if d > 0:
+                pf = path_feat[:, :d, None, None]
+                pc = path_code[:, :d, None, None]
+                pnum = path_isnum[:, :d, None, None]
+                blocked = jnp.any(
+                    (~pnum)
+                    & (pf == jnp.arange(Fc)[None, None, :, None])
+                    & (pc == jnp.arange(V)[None, None, None, :]), axis=1)
+                scc = jnp.where(blocked, NEG_INF, scc)
+            parts.append((scc * feat_w_cat[None, :, None]
+                          ).reshape(n_nodes, Fc * V))
+        adj = jnp.concatenate(parts, axis=1)           # [n_nodes, F*B + Fc*V]
 
         if oblivious:
-            total = jnp.sum(sc, axis=0)                    # [F, B]
-            total = _nan_to_neginf(total * feat_w[:, None])
-            flat = total.reshape(-1)
-            best_idx = jnp.argmax(flat)
-            best = flat[best_idx]
+            total = _nan_to_neginf(jnp.sum(adj, axis=0))
+            best_idx = jnp.argmax(total)
+            best = total[best_idx]
             level_alive = alive & (best > NEG_INF)
             alive = level_alive
-            f_sel = jnp.broadcast_to(
-                (best_idx // B).astype(jnp.int32), (n_nodes,))
-            b_sel = jnp.broadcast_to(
-                (best_idx % B).astype(jnp.int32), (n_nodes,))
+            best_idx = jnp.broadcast_to(best_idx.astype(jnp.int32), (n_nodes,))
             do_split = jnp.broadcast_to(level_alive, (n_nodes,))
         else:
-            adj = sc * feat_w[None, :, None]
             if d > 0:
-                parent = node_scores(node_sum, node_cnt, score_fn)  # [n_nodes]
-                adj = adj - parent[:, None, None]
+                parent = node_scores(node_sum, node_cnt, score_fn)
+                adj = adj - parent[:, None]
             adj = _nan_to_neginf(adj)
-            flat = adj.reshape(n_nodes, F * B)
-            best_idx = jnp.argmax(flat, axis=1)
-            best = jnp.take_along_axis(flat, best_idx[:, None], axis=1)[:, 0]
-            f_sel = (best_idx // B).astype(jnp.int32)
-            b_sel = (best_idx % B).astype(jnp.int32)
+            best_idx = jnp.argmax(adj, axis=1).astype(jnp.int32)
+            best = jnp.take_along_axis(adj, best_idx[:, None], axis=1)[:, 0]
             # accept iff adjusted score >= 0 and the node holds samples
             # (fitter.cpp:300-301, 357)
             do_split = (best >= 0) & (node_cnt > 0)
 
-        v_sel = cand_vals[f_sel, b_sel]                    # [n_nodes]
-        lo = n_nodes - 1                                   # heap level start
+        # decode the merged candidate index
+        is_num_sel = (best_idx < F * B) if has_cat else \
+            jnp.ones_like(best_idx, dtype=bool)
+        if not has_num:
+            is_num_sel = jnp.zeros_like(best_idx, dtype=bool)
+        nidx = jnp.minimum(best_idx, max(F * B - 1, 0))
+        f_num = nidx // max(B, 1)
+        b_num = nidx % max(B, 1)
+        if has_cat:
+            cidx = jnp.maximum(best_idx - F * B, 0)
+            f_cat = cidx // V
+            c_cat = cidx % V
+        else:
+            f_cat = jnp.zeros_like(best_idx)
+            c_cat = jnp.zeros_like(best_idx)
+        v_sel = cand_vals[f_num, b_num] if has_num else \
+            jnp.zeros((n_nodes,), dtype=jnp.float32)
+        f_sel = jnp.where(is_num_sel, f_num, f_cat)
+        lo = n_nodes - 1                               # heap level start
         feat_arr = feat_arr.at[lo:lo + n_nodes].set(
             jnp.where(do_split, f_sel, -1))
         thr_arr = thr_arr.at[lo:lo + n_nodes].set(
-            jnp.where(do_split, v_sel, 0.0))
+            jnp.where(do_split & is_num_sel, v_sel, 0.0))
+        code_arr = code_arr.at[lo:lo + n_nodes].set(
+            jnp.where(do_split & ~is_num_sel, c_cat, -1))
+        isnum_arr = isnum_arr.at[lo:lo + n_nodes].set(is_num_sel)
         split_arr = split_arr.at[lo:lo + n_nodes].set(do_split)
         counts_arr = counts_arr.at[lo:lo + n_nodes].set(node_cnt)
         depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
 
-        # route samples: x > thr  <=>  bucket > b_sel   (candidates.bucketize)
-        s_f = f_sel[node_rel]
-        s_b = b_sel[node_rel]
+        # route samples: numeric bucket > b (== x > thr), or code equality
         s_do = do_split[node_rel]
-        xb_sel = jnp.take_along_axis(Xb, s_f[:, None], axis=1)[:, 0]
-        go_right = s_do & (xb_sel > s_b)
+        s_isnum = is_num_sel[node_rel]
+        if has_num:
+            xb_sel = jnp.take_along_axis(Xb, f_num[node_rel][:, None],
+                                         axis=1)[:, 0]
+            go_num = xb_sel > b_num[node_rel]
+        else:
+            go_num = jnp.zeros((N,), dtype=bool)
+        if has_cat:
+            xc_sel = jnp.take_along_axis(Xc, f_cat[node_rel][:, None],
+                                         axis=1)[:, 0]
+            go_cat = xc_sel == c_cat[node_rel]
+        else:
+            go_cat = jnp.zeros((N,), dtype=bool)
+        go_right = s_do & jnp.where(s_isnum, go_num, go_cat)
         node_rel = node_rel * 2 + go_right.astype(jnp.int32)
 
         # children inherit the path plus the new condition
@@ -216,7 +285,11 @@ def build_tree(cfg: TreeConfig, Xb: jax.Array, cand_vals: jax.Array,
         path_feat = path_feat[rep].at[:, d].set(
             jnp.where(do_split, f_sel, -1)[rep])
         path_val = path_val[rep].at[:, d].set(
-            jnp.where(do_split, v_sel, jnp.nan)[rep])
+            jnp.where(do_split & is_num_sel, v_sel, jnp.nan)[rep])
+        path_code = path_code[rep].at[:, d].set(
+            jnp.where(do_split & ~is_num_sel, c_cat, -1)[rep])
+        path_isnum = path_isnum[rep].at[:, d].set(
+            (do_split & is_num_sel)[rep])
 
     # leaf values = masked mean of raw gradients (fitter.cpp:545-582)
     wg = jnp.concatenate([grads * sample_w[:, None], sample_w[:, None]], axis=-1)
@@ -229,9 +302,9 @@ def build_tree(cfg: TreeConfig, Xb: jax.Array, cand_vals: jax.Array,
     return dict(
         feat=feat_arr,
         thr=thr_arr,
-        cat_code=jnp.full((L - 1,), -1, dtype=jnp.int32),
+        cat_code=code_arr,
         is_split=split_arr,
-        is_numeric=jnp.ones((L - 1,), dtype=bool),
+        is_numeric=isnum_arr,
         leaf_values=leaf_values,
         counts=counts_arr,
         depth=depth_reached,

@@ -52,6 +52,161 @@ def _partition(idx, X, f, v):
     return left, right
 
 
+def _partition_cat(idx, Xc, f, c):
+    xv = Xc[idx, f]
+    right = idx[xv == c]
+    left = idx[~(xv == c)]
+    return left, right
+
+
+def _split_score_generic(idx, X, Xc, g, cand, score, min_data):
+    """cand = ('num', f, v) | ('cat', f, code); node.cpp:64-97 routing."""
+    kind, f, v = cand
+    if kind == 'num':
+        left, right = _partition(idx, X, f, v)
+    else:
+        left, right = _partition_cat(idx, Xc, f, v)
+    nl, nr = len(left), len(right)
+    if nl < min_data or nr < min_data:
+        return NEG_INF
+    ml = g[left].sum(axis=0) / nl if nl > 0 else np.zeros(g.shape[1])
+    mr = g[right].sum(axis=0) / nr if nr > 0 else np.zeros(g.shape[1])
+    if score == "l2":
+        return nl * (ml @ ml) + nr * (mr @ mr)
+    num = (g[right] @ mr).sum() if nr > 0 else 0.0
+    num += (g[left] @ ml).sum() if nl > 0 else 0.0
+    den = (mr @ mr) * nr + (ml @ ml) * nl
+    if den == 0.0:
+        return 0.0
+    return num / np.sqrt(den)
+
+
+def categorical_candidates_np(Xc, grad_norms, n_bins):
+    """split_candidate_generator.cpp:117-163: all (feature, code) pairs, or
+    the top n_cat*n_bins by average gradient norm when more are present."""
+    N, Fc = Xc.shape
+    stats = {}
+    for f in range(Fc):
+        for i in range(N):
+            key = (f, int(Xc[i, f]))
+            tot, cnt = stats.get(key, (0.0, 0))
+            stats[key] = (tot + grad_norms[i], cnt + 1)
+    pairs = [(k, tot / cnt) for k, (tot, cnt) in stats.items()]
+    limit = Fc * n_bins
+    if len(pairs) > limit:
+        pairs = sorted(pairs, key=lambda kv: -kv[1])[:limit]
+    # deterministic (feature, code) order to match the dense-grid argmax
+    keys = sorted(k for k, _ in pairs)
+    return [('cat', f, c) for (f, c) in keys]
+
+
+def fit_tree_oracle_mixed(X, Xc, grads, build_grads, cands, cfg, feat_w,
+                          feat_w_cat):
+    """Like fit_tree_oracle but with mixed numeric+categorical candidates.
+    cands: list of ('num', f, v) and ('cat', f, code), numeric first."""
+    N = grads.shape[0]
+    D = cfg["max_depth"]
+    score = cfg["score"]
+    min_data = cfg["min_data_in_leaf"]
+    root = OracleNode(np.arange(N), 0, [])
+
+    def fw_of(cand):
+        return feat_w[cand[1]] if cand[0] == 'num' else feat_w_cat[cand[1]]
+
+    def on_path(path, cand):
+        return any(pc == cand for pc in path)
+
+    def part(idx, cand):
+        if cand[0] == 'num':
+            return _partition(idx, X, cand[1], cand[2])
+        return _partition_cat(idx, Xc, cand[1], cand[2])
+
+    if cfg["grow_policy"] == "greedy":
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            to_split = not (node.depth == D or len(node.idx) == 0
+                            or len(cands) == 0)
+            best, chosen = NEG_INF, -1
+            if to_split:
+                parent = 0.0 if node.depth == 0 else _node_score(
+                    node.idx, build_grads, score)
+                for j, cand in enumerate(cands):
+                    if on_path(node.path, cand):
+                        s = NEG_INF
+                    else:
+                        s = _split_score_generic(node.idx, X, Xc, build_grads,
+                                                 cand, score, min_data)
+                    s = s * fw_of(cand) - parent
+                    if s > best:
+                        best, chosen = s, j
+            if to_split and best >= 0:
+                cand = cands[chosen]
+                left, right = part(node.idx, cand)
+                node.f, node.v = cand, None
+                node.left = OracleNode(left, node.depth + 1,
+                                       node.path + [cand])
+                node.right = OracleNode(right, node.depth + 1,
+                                        node.path + [cand])
+                stack.append(node.right)
+                stack.append(node.left)
+            else:
+                node.value = (grads[node.idx].mean(axis=0)
+                              if len(node.idx) > 0
+                              else np.zeros(grads.shape[1]))
+    else:
+        level = [root]
+        depth = 0
+        while depth < D:
+            best, chosen = NEG_INF, -1
+            for j, cand in enumerate(cands):
+                total = 0.0
+                for node in level:
+                    if on_path(node.path, cand):
+                        s = NEG_INF
+                    else:
+                        s = _split_score_generic(node.idx, X, Xc, build_grads,
+                                                 cand, score, min_data)
+                    total += s
+                total *= fw_of(cand)
+                if total > best:
+                    best, chosen = total, j
+            if best == NEG_INF:
+                break
+            cand = cands[chosen]
+            nxt = []
+            for node in level:
+                left, right = part(node.idx, cand)
+                node.f, node.v = cand, None
+                node.left = OracleNode(left, depth + 1, node.path + [cand])
+                node.right = OracleNode(right, depth + 1, node.path + [cand])
+                nxt += [node.left, node.right]
+            level = nxt
+            depth += 1
+        for node in level:
+            node.value = (grads[node.idx].mean(axis=0)
+                          if len(node.idx) > 0 else np.zeros(grads.shape[1]))
+    return root
+
+
+def tree_leaf_values_per_sample_mixed(root, X, Xc):
+    N = X.shape[0] if X is not None else Xc.shape[0]
+    out = None
+    for i in range(N):
+        node = root
+        while node.value is None:
+            kind, f, v = node.f
+            if kind == 'num':
+                go = X[i, f] > v
+            else:
+                go = Xc[i, f] == v
+            node = node.right if go else node.left
+        if out is None:
+            out = np.zeros((N, len(node.value)))
+        out[i] = node.value
+    return out
+
+
 def _split_score(idx, X, g, f, v, score, min_data):
     """node.cpp:187-376 literal form."""
     left, right = _partition(idx, X, f, v)
