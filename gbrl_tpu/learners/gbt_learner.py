@@ -404,11 +404,13 @@ class GBTLearner(BaseLearner):
             learner.vocab = CategoryVocab.from_state(meta["vocab"])
         return learner
 
-    def export(self, filename: str, modelname: Optional[str] = None) -> None:
+    def export(self, filename: str, modelname: Optional[str] = None,
+               export_format: str = "float") -> None:
         """Self-contained C-header inference export (types.cpp:409+)."""
         from ..utils.c_export import export_ensemble_header
         export_ensemble_header(self.cfg, self.ens, filename,
-                               modelname or "gbrl_model")
+                               modelname or "gbrl_model", self.specs,
+                               export_format)
 
     def distil(self, obs, targets, params: Dict, verbose: int = 0):
         """Train a compact student on this ensemble's outputs and swap it in
