@@ -1,0 +1,52 @@
+"""AWR on MuJoCo continuous control with feature weights
+(BASELINE config 5).
+
+Usage: python examples/awr_mujoco.py [--env HalfCheetah-v5] [--steps 300000]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import gymnasium as gym
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="HalfCheetah-v5")
+    ap.add_argument("--steps", type=int, default=300_000)
+    ap.add_argument("--n-envs", type=int, default=8)
+    ap.add_argument("--device", default="tpu")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from gbrl_tpu.rl.awr import AWR
+
+    env = gym.vector.SyncVectorEnv(
+        [lambda: gym.make(args.env)] * args.n_envs)
+    obs_dim = int(np.prod(env.single_observation_space.shape))
+    algo = AWR(env,
+               tree_struct=dict(max_depth=4, n_bins=256, min_data_in_leaf=0,
+                                par_th=2, grow_policy="oblivious"),
+               actor_lr=0.05, critic_lr=0.5, beta=1.0,
+               n_steps=2048, actor_updates=10, critic_updates=10,
+               batch_size=512, feature_weights=np.ones(obs_dim),
+               log_interval=2, device=args.device)
+    t0 = time.time()
+    algo.learn(total_timesteps=args.steps, seed=args.seed)
+    dt = time.time() - t0
+    print(f"done: mean_reward={algo.mean_reward():.1f} "
+          f"actor_trees={algo.actor.get_num_trees()} "
+          f"env_steps_per_s={args.steps / dt:.0f}")
+
+
+if __name__ == "__main__":
+    main()

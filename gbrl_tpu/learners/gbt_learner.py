@@ -52,6 +52,33 @@ def _predict_delta_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree):
     return weighted_leaf_sum(cfg, ens, Xn, coeff)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _predict_one_tree_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, t):
+    """SGD update of the single tree at (traced) index t: O(N * depth) work
+    regardless of ensemble size — powers the incremental predict cache."""
+    from ..optimizers import scheduler_lr
+    from ..ops.predict import single_tree_leaf_values
+
+    def sl(arr):
+        return jax.lax.dynamic_slice(
+            arr, (t,) + (0,) * (arr.ndim - 1),
+            (1,) + arr.shape[1:])[0]
+
+    tree = dict(feat=sl(ens.feat), thr=sl(ens.thr),
+                cat_code=sl(ens.cat_code), is_split=sl(ens.is_split),
+                is_numeric=sl(ens.is_numeric),
+                leaf_values=sl(ens.leaf_values))
+    v = single_tree_leaf_values(cfg, tree, Xn)          # [N, O]
+    O = cfg.output_dim
+    coeff = jnp.zeros((O,), dtype=jnp.float32)
+    j = jnp.arange(O)
+    for spec in specs:
+        mask = ((j >= spec.start_idx) & (j < spec.stop_idx)
+                ).astype(jnp.float32)
+        coeff = coeff - scheduler_lr(spec, t) * mask
+    return v * coeff[None, :]
+
+
 class GBTLearner(BaseLearner):
     def __init__(self, input_dim: int, output_dim: int, tree_struct: Dict,
                  optimizers: Union[Dict, List[Dict], None],
@@ -234,10 +261,15 @@ class GBTLearner(BaseLearner):
         Xp[:N], yp[:N] = X, y
         self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + iterations)
         self.ens = self.ens.replace(bias=jnp.asarray(y.mean(axis=0)))
-        self.ens, loss = fit_loop(self.cfg, int(iterations), self.ens,
-                                  jnp.asarray(Xp), jnp.asarray(yp),
-                                  jnp.int32(N), self.specs,
-                                  self._internal_feature_weights())
+        self._pred_cache = None
+        self.ens, loss, per_iter = fit_loop(
+            self.cfg, int(iterations), self.ens, jnp.asarray(Xp),
+            jnp.asarray(yp), jnp.int32(N), self.specs,
+            self._internal_feature_weights())
+        if self.verbose > 0:
+            # per-iteration batch loss (fitter.cpp:232-234)
+            for i, l in enumerate(np.asarray(per_iter)):
+                print(f"Boosting iteration: {i + 1} - MultiRMSE Loss: {l}")
         self.total_iterations += int(iterations)
         return float(loss)
 
@@ -266,6 +298,13 @@ class GBTLearner(BaseLearner):
                     cpred.shape[0] == Xn.shape[0]:
                 if cn == n_trees:
                     preds = cpred
+                elif n_trees - cn <= 8:
+                    # few new trees: evaluate each alone, O(k * N * depth)
+                    preds = cpred
+                    for t in range(cn, n_trees):
+                        preds = preds + np.asarray(_predict_one_tree_jit(
+                            self.cfg, self.ens, Xn, self.specs,
+                            jnp.int32(t)))
                 else:
                     delta = _predict_delta_jit(self.cfg, self.ens, Xn,
                                                self.specs, jnp.int32(cn))
@@ -332,6 +371,16 @@ class GBTLearner(BaseLearner):
 
     def get_device(self) -> str:
         return self.device
+
+    def get_metadata(self) -> Dict:
+        """Metadata dict (analog of binding.cpp get_metadata:309-328)."""
+        from ..utils.introspection import get_ensemble_metadata
+        return get_ensemble_metadata(self.cfg, self.ens)
+
+    def get_ensemble_data(self) -> Dict[str, np.ndarray]:
+        """All SoA ensemble arrays as numpy (binding.cpp:330-390)."""
+        from ..utils.introspection import get_ensemble_data
+        return get_ensemble_data(self.cfg, self.ens)
 
     def print_ensemble_metadata(self) -> None:
         c = self.cfg

@@ -158,7 +158,7 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
         return coeff
 
     def body(i, carry):
-        ens, preds_full, mom_full = carry
+        ens, preds_full, mom_full, losses = carry
         start = (i % n_batches_f) * bs
         Xb = jax.lax.dynamic_slice(Xb_pad, (start, 0), (bs, Xb_pad.shape[1]))
         tg = jax.lax.dynamic_slice(targets_pad, (start, 0),
@@ -167,7 +167,8 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
         batch_n = jnp.minimum(bs, n_samples - start)
         w = (jnp.arange(bs) < batch_n).astype(jnp.float32)
 
-        grads, _ = multirmse_grads(preds, tg, w)
+        grads, batch_loss = multirmse_grads(preds, tg, w)
+        losses = losses.at[i].set(batch_loss)
         if cfg.use_control_variates:
             n_trees = n_trees0 + i
             mom_b = jax.lax.dynamic_slice(mom_full, (start, 0), (bs, O))
@@ -183,12 +184,13 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
         preds_full = preds_full + _lr_columns(n_trees0 + i)[None, :] * v_new
         if cfg.use_control_variates:
             mom_full = beta * mom_full + (1.0 - beta) * v_new
-        return ens, preds_full, mom_full
+        return ens, preds_full, mom_full, losses
 
-    ens, preds_full, _ = jax.lax.fori_loop(0, iterations, body,
-                                           (ens, preds0, mom0))
+    losses0 = jnp.zeros((iterations,), dtype=jnp.float32)
+    ens, preds_full, _, losses = jax.lax.fori_loop(
+        0, iterations, body, (ens, preds0, mom0, losses0))
     loss = multirmse_loss(preds_full, targets_pad, full_w)
-    return ens, loss
+    return ens, loss, losses
 
 
 def _cv_adjust(grads, mom, w):

@@ -92,15 +92,25 @@ class PPO:
 
     # --------------------------------------------------------------- update
     def update(self, buffer: RolloutBuffer, rng):
+        """PPO epochs over minibatches; one tree per minibatch update.
+
+        Predictions for the whole rollout are fetched through the learner's
+        incremental cache: after each tree only the NEW tree is evaluated on
+        the rollout (leaf values are immutable), so an update phase costs
+        O(new_trees * N) instead of O(ensemble * N) per minibatch."""
         obs, actions, old_log_probs, advantages, returns, _ = buffer.flat()
         n = len(obs)
+        na = self.n_actions
         for _ in range(self.n_epochs):
             perm = rng.permutation(n)
             for start in range(0, n, self.batch_size):
                 mb = perm[start:start + self.batch_size]
                 if len(mb) < 2:
                     continue
-                theta, values = self.model(obs[mb], requires_grad=True)
+                pol_full, val_full = self.model.learner.predict(
+                    obs, requires_grad=False, tensor=False)   # cached + delta
+                theta = th.tensor(pol_full[mb], requires_grad=True)
+                values = th.tensor(val_full[mb], requires_grad=True)
                 dist = Categorical(logits=theta)
                 a = th.as_tensor(actions[mb])
                 log_prob = dist.log_prob(a)
@@ -117,7 +127,11 @@ class PPO:
                 value_loss = self.vf_coef * 0.5 * ((
                     th.as_tensor(returns[mb]) - values) ** 2).mean()
                 value_loss.backward()
+                nb = len(mb)
                 self.model.step(
+                    observations=obs[mb],
+                    policy_grads=theta.grad.detach() * nb,
+                    value_grads=values.grad.detach() * nb,
                     policy_grad_clip=self.max_policy_grad_norm,
                     value_grad_clip=self.max_value_grad_norm)
 

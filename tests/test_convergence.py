@@ -95,8 +95,9 @@ def test_supervised_fit_loop_matches_step_loop():
 
     ens2 = init_ensemble(cfg, capacity=16)
     ens2 = ens2.replace(bias=jnp.asarray(y.mean(axis=0)))
-    ens2, loss = fit_loop(cfg, iters, ens2, Xj, yj,
-                          jnp.int32(X.shape[0]), (spec,), fw)
+    ens2, loss, per_iter = fit_loop(cfg, iters, ens2, Xj, yj,
+                                    jnp.int32(X.shape[0]), (spec,), fw)
+    assert per_iter.shape == (iters,)
     preds_fit = predict_sgd(cfg, ens2, Xj, (spec,), 0, ens2.n_trees)
     np.testing.assert_allclose(np.asarray(preds_fit), np.asarray(preds_step),
                                rtol=1e-4, atol=1e-4)
