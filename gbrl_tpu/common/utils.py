@@ -191,6 +191,42 @@ def concatenate_arrays(a, b, axis: int = 1):
     return np.concatenate([np.asarray(a), np.asarray(b)], axis=axis)
 
 
+def pad_array(arr: np.ndarray, target_rows: int, value: float = 0.0) -> np.ndarray:
+    """Pad rows up to target_rows (reference: common/utils.py pad_array)."""
+    arr = np.asarray(arr)
+    if arr.shape[0] >= target_rows:
+        return arr
+    pad = np.full((target_rows - arr.shape[0],) + arr.shape[1:], value,
+                  dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def get_tensor_info(tensor) -> Tuple[int, Tuple[int, ...], str, str]:
+    """(data_ptr, shape, dtype, device) tuple for a torch tensor
+    (reference: common/utils.py:43-60).  Kept for API parity; the JAX build
+    copies through numpy instead of zero-copy pointer passing."""
+    assert is_torch(tensor), "get_tensor_info expects a torch tensor"
+    return (tensor.data_ptr(), tuple(tensor.shape), str(tensor.dtype),
+            str(tensor.device))
+
+
+def get_poly_vectors(max_depth: int, dtype=np.float32):
+    """Chebyshev-of-second-kind points + normalization/offset matrices used
+    by the reference's Linear TreeSHAP (common/utils.py:317-371).  Our SHAP
+    uses the classic recursion and does not consume these; provided for API
+    parity with callers that pass them through.
+
+    Returns (base_poly [D+1], norm_values [D+1, D+1], offset [D+1])."""
+    from scipy.special import binom
+    d = max_depth + 1
+    # Chebyshev points of the second kind on (-1, 1)
+    base_poly = np.cos(np.pi * (np.arange(1, d + 1) - 0.5) / d).astype(dtype)
+    vander = np.vander(base_poly, d, increasing=True).astype(dtype)
+    norm_values = np.linalg.inv(vander).astype(dtype)
+    offset = (base_poly + 1.0).astype(dtype)
+    return base_poly, norm_values, offset
+
+
 def ensure_leaf_output(array, tensor: bool, requires_grad: bool):
     """numpy -> torch leaf tensor (requires_grad) or numpy array
     (reference: common/utils.py:561-596 ensure_leaf_tensor_or_array)."""
