@@ -244,28 +244,39 @@ class GBTLearner(BaseLearner):
                 raise RuntimeError(
                     "Adam optimizer not supported in fit function. Use SGD")
         num, cat = preprocess_features(features)
-        if cat is not None:
-            raise NotImplementedError(
-                "categorical supervised fit arrives with the categorical phase")
         self._infer_mapping_from(features)
         y = ensure_2d(to_numpy(targets))
-        X = num
+        codes = None
+        if cat is not None:
+            codes = self.vocab.encode(cat, grow=True)
+        X = num if num is not None else np.zeros((y.shape[0], 0), np.float32)
         N = X.shape[0]
         if shuffle:
             perm = np.random.default_rng(seed).permutation(N)
             X, y = X[perm], y[perm]
+            if codes is not None:
+                codes = codes[perm]
         bs = min(self.cfg.batch_size, N)
         n_pad = ((N + bs - 1) // bs) * bs
         Xp = np.zeros((n_pad, X.shape[1]), dtype=np.float32)
         yp = np.zeros((n_pad, y.shape[1]), dtype=np.float32)
         Xp[:N], yp[:N] = X, y
+        Xcp = None
+        if codes is not None:
+            # padded rows reuse row 0's codes; masked out of counts/loss
+            Xcp = np.zeros((n_pad, codes.shape[1]), dtype=np.int32)
+            Xcp[:N] = codes
+            Xcp[N:] = codes[0] if N > 0 else 0
+            Xcp = jnp.asarray(Xcp)
         self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + iterations)
         self.ens = self.ens.replace(bias=jnp.asarray(y.mean(axis=0)))
         self._pred_cache = None
+        fw = self._internal_feature_weights()
+        n_num = self.cfg.n_num_features
         self.ens, loss, per_iter = fit_loop(
             self.cfg, int(iterations), self.ens, jnp.asarray(Xp),
             jnp.asarray(yp), jnp.int32(N), self.specs,
-            self._internal_feature_weights())
+            fw[:n_num], Xcp, fw[n_num:], self._n_codes())
         if self.verbose > 0:
             # per-iteration batch loss (fitter.cpp:232-234)
             for i, l in enumerate(np.asarray(per_iter)):

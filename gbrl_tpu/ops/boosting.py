@@ -101,11 +101,13 @@ def predict_sgd(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     return ens.bias[None, :] + weighted_leaf_sum(cfg, ens, Xn, coeff, Xc)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6, 10))
 def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
              Xn_pad: jax.Array, targets_pad: jax.Array, n_samples: jax.Array,
-             specs: Tuple[OptimizerSpec, ...], feat_w: jax.Array
-             ) -> Tuple[Ensemble, jax.Array]:
+             specs: Tuple[OptimizerSpec, ...], feat_w: jax.Array,
+             Xc_pad: Optional[jax.Array] = None,
+             feat_w_cat: Optional[jax.Array] = None,
+             n_codes: int = 0) -> Tuple[Ensemble, jax.Array, jax.Array]:
     """Supervised multi-iteration fit == Fitter::fit_cpu (fitter.cpp:117-261).
 
     Data arrives shuffled and padded to a multiple of cfg.batch_size; padded
@@ -129,19 +131,33 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
     bs = min(cfg.batch_size, N_pad)
     n_batches_f = jnp.ceil(n_samples / bs).astype(jnp.int32)
 
+    has_num = Xn_pad.shape[1] > 0
+    has_cat = Xc_pad is not None
+
     full_w = (jnp.arange(N_pad) < n_samples).astype(jnp.float32)
-    cand_vals = _masked_candidates(cfg, Xn_pad, n_samples)
-    Xb_pad = bucketize(Xn_pad, cand_vals)
+    if has_num:
+        cand_vals = _masked_candidates(cfg, Xn_pad, n_samples)
+        Xb_pad = bucketize(Xn_pad, cand_vals)
+    else:
+        cand_vals, Xb_pad = None, None
 
     n_trees0 = ens.n_trees
     O = cfg.output_dim
     beta = jnp.float32(cfg.cv_beta)
 
     # incremental state over existing trees (zeros for a fresh fit)
-    preds0 = predict_sgd(cfg, ens, Xn_pad, specs, 0, n_trees0)
+    preds0 = predict_sgd(cfg, ens, Xn_pad, specs, 0, n_trees0, Xc_pad)
+
+    cat_valid = None
+    if has_cat:
+        # categorical candidates selected ONCE from the initial residual
+        # gradient norms (fitter.cpp:152-163)
+        g0 = (preds0 - targets_pad) * full_w[:, None]
+        cat_valid = categorical_candidate_mask(
+            Xc_pad, jnp.sum(g0 * g0, axis=-1), cfg.n_bins, n_codes, full_w)
     if cfg.use_control_variates:
         corr0 = jnp.sqrt(1.0 - jnp.power(beta, n_trees0.astype(jnp.float32)))
-        mom0 = cv_momentum(cfg, ens, Xn_pad) * jnp.where(n_trees0 > 0, corr0,
+        mom0 = cv_momentum(cfg, ens, Xn_pad, Xc_pad) * jnp.where(n_trees0 > 0, corr0,
                                                          1.0)
     else:
         mom0 = jnp.zeros_like(preds0)
@@ -160,7 +176,12 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
     def body(i, carry):
         ens, preds_full, mom_full, losses = carry
         start = (i % n_batches_f) * bs
-        Xb = jax.lax.dynamic_slice(Xb_pad, (start, 0), (bs, Xb_pad.shape[1]))
+        Xb = (jax.lax.dynamic_slice(Xb_pad, (start, 0),
+                                    (bs, Xb_pad.shape[1]))
+              if has_num else None)
+        Xc = (jax.lax.dynamic_slice(Xc_pad, (start, 0),
+                                    (bs, Xc_pad.shape[1]))
+              if has_cat else None)
         tg = jax.lax.dynamic_slice(targets_pad, (start, 0),
                                    (bs, targets_pad.shape[1]))
         preds = jax.lax.dynamic_slice(preds_full, (start, 0), (bs, O))
@@ -177,10 +198,11 @@ def fit_loop(cfg: TreeConfig, iterations: int, ens: Ensemble,
             adjusted = _cv_adjust(grads, mom_b * corr, w)
             grads = jnp.where((i > 0) & (n_trees > 0), adjusted, grads)
         build = standardize_l2(grads, w) if cfg.score == "l2" else grads
-        tree = build_tree(cfg, Xb, cand_vals, grads, build, w, feat_w)
+        tree = build_tree(cfg, Xb, cand_vals, grads, build, w, feat_w,
+                          Xc, cat_valid, feat_w_cat)
         ens = write_tree(ens, tree, n_trees0 + i)
         # incremental update: evaluate only the new tree on the full dataset
-        v_new = single_tree_leaf_values(cfg, tree, Xn_pad)       # [N_pad, O]
+        v_new = single_tree_leaf_values(cfg, tree, Xn_pad, Xc_pad)
         preds_full = preds_full + _lr_columns(n_trees0 + i)[None, :] * v_new
         if cfg.use_control_variates:
             mom_full = beta * mom_full + (1.0 - beta) * v_new

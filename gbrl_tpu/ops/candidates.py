@@ -73,7 +73,8 @@ def bucketize(X: jax.Array, cand_vals: jax.Array) -> jax.Array:
 
 
 def categorical_candidate_mask(Xc: jax.Array, grad_norms: jax.Array,
-                               n_bins: int, n_codes: int) -> jax.Array:
+                               n_bins: int, n_codes: int,
+                               sample_w: jax.Array = None) -> jax.Array:
     """Select categorical split candidates: [N, Fc] codes + [N] per-sample
     gradient norms -> valid mask [Fc, n_codes].
 
@@ -81,12 +82,16 @@ def categorical_candidate_mask(Xc: jax.Array, grad_norms: jax.Array,
     pair that appears is a candidate; if the number of uniques exceeds
     n_cat_features * n_bins, keep the top ones by average gradient norm
     (taking top-k unconditionally is equivalent: absent pairs rank -inf).
+    sample_w masks padded rows out of the counts.
     """
     N, Fc = Xc.shape
+    if sample_w is None:
+        sample_w = jnp.ones((N,), dtype=jnp.float32)
     k = min(Fc * n_bins, Fc * n_codes)
     ids = jnp.arange(Fc, dtype=jnp.int32)[None, :] * n_codes + Xc   # [N, Fc]
-    data = jnp.stack([jnp.broadcast_to(grad_norms[:, None], (N, Fc)),
-                      jnp.ones((N, Fc), dtype=jnp.float32)], axis=-1)
+    data = jnp.stack(
+        [jnp.broadcast_to((grad_norms * sample_w)[:, None], (N, Fc)),
+         jnp.broadcast_to(sample_w[:, None], (N, Fc))], axis=-1)
     agg = jax.ops.segment_sum(data.reshape(N * Fc, 2), ids.reshape(-1),
                               num_segments=Fc * n_codes)
     cnt = agg[:, 1]

@@ -172,3 +172,26 @@ def test_model_categorical_convergence():
     X2[0, 2] = "Mountain view"
     out = model(X2, requires_grad=False, tensor=False)
     assert np.isfinite(out).all()
+
+
+def test_categorical_supervised_fit():
+    """Supervised fit with mixed inputs (fitter.cpp:152-163: categorical
+    candidates chosen once from initial residual norms)."""
+    rng = np.random.default_rng(1)
+    n = 104
+    sqm = rng.uniform(400, 2000, n).round(2)
+    year = rng.choice(["2006", "2009", "2015", "2018"], n)
+    view = rng.choice(["Sea view", "No sea view"], n)
+    price = (sqm * 3 + (year.astype(int) - 2000) * 50
+             + (view == "Sea view") * 1000 + rng.normal(0, 50, n))
+    X = np.empty((n, 3), dtype=object)
+    X[:, 0], X[:, 1], X[:, 2] = sqm, year, view
+    y = price.astype(np.float32)[:, None]
+    model = GBTModel(tree_struct={"max_depth": 4, "n_bins": 16},
+                     input_dim=3, output_dim=1,
+                     optimizers={"algo": "SGD", "lr": 1.0, "start_idx": 0,
+                                 "stop_idx": 1},
+                     params={"split_score_func": "cosine"}, device="cpu")
+    loss = model.fit(X, y, 40)
+    assert loss < 1000, f"categorical supervised fit loss {loss}"
+    assert model.get_num_trees() == 40
