@@ -55,6 +55,20 @@ class SharedActorCriticLearner(GBTLearner):
                        stop_idx: Optional[int] = None, tensor: bool = True):
         return self.predict(obs, requires_grad, start_idx, stop_idx, tensor)[1]
 
+    @classmethod
+    def load(cls, filename: str, device: str = "tpu") -> "SharedActorCriticLearner":
+        base = GBTLearner.load(filename, device)
+        inst = cls(base.input_dim, base.output_dim, dict(base.tree_struct),
+                   dict(base.optimizers[0]), dict(base.optimizers[1]),
+                   dict(base.params), base.verbose, device)
+        state = dict(base.__dict__)
+        state["cfg"] = inst.cfg.replace(
+            n_num_features=base.cfg.n_num_features,
+            n_cat_features=base.cfg.n_cat_features)
+        state["learner_name"] = inst.learner_name
+        inst.__dict__.update(state)
+        return inst
+
     def __copy__(self) -> "SharedActorCriticLearner":
         c = SharedActorCriticLearner(
             self.input_dim, self.output_dim, dict(self.tree_struct),

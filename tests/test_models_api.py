@@ -218,3 +218,29 @@ def test_discrete_critic_target_prefix(diabetes):
     # target output must still equal the 4-tree snapshot after 6 trees
     np.testing.assert_allclose(model.predict_target(X, tensor=False), frozen,
                                rtol=1e-6)
+
+
+def test_actor_critic_save_load(diabetes, tmp_path):
+    X, y = diabetes
+    out_dim = 3
+    model = ActorCritic(
+        tree_struct=TREE_STRUCT, input_dim=10, output_dim=out_dim,
+        policy_optimizer={"policy_algo": "SGD", "policy_lr": 1.0,
+                          "start_idx": 0, "stop_idx": out_dim - 1},
+        value_optimizer={"value_algo": "SGD", "value_lr": 0.1,
+                         "start_idx": out_dim - 1, "stop_idx": out_dim},
+        shared_tree_struct=True, device="cpu")
+    y_ac = th.tensor(np.tile(y, (1, out_dim - 1)), dtype=th.float32)
+    y_v = th.tensor(y[:, 0], dtype=th.float32)
+    for _ in range(3):
+        theta, value = model(X, requires_grad=True)
+        (0.5 * mse_loss(theta, y_ac) * (out_dim - 1)).backward()
+        (0.5 * mse_loss(value, y_v)).backward()
+        model.step()
+    p = str(tmp_path / "ac_shared")
+    model.save_learner(p)
+    loaded = ActorCritic.load_learner(p, device="cpu")
+    t0, v0 = model(X, requires_grad=False)
+    t1, v1 = loaded(X, requires_grad=False)
+    np.testing.assert_allclose(t0.detach(), t1.detach(), rtol=1e-6)
+    np.testing.assert_allclose(v0.detach(), v1.detach(), rtol=1e-6)
