@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import functools
 import json
-import os
-import pickle
 from typing import Dict, List, Optional, Tuple, Union
 
 import jax

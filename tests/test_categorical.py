@@ -21,9 +21,8 @@ from gbrl_tpu.ops.fit import build_tree, standardize_l2
 from gbrl_tpu.models.gbt import GBTModel
 
 from oracle import (categorical_candidates_np, fit_tree_oracle_mixed,
-                    quantile_candidates_np, uniform_candidates_np,
+                    quantile_candidates_np,
                     tree_leaf_values_per_sample_mixed)
-from test_fit_parity import jax_tree_leaf_values
 
 
 def jax_tree_leaf_values_mixed(cfg, tree, X, Xc):

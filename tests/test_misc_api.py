@@ -1,7 +1,4 @@
 """Distillation, introspection, verbose metadata, scheduler lr queries."""
-import io
-import sys
-
 import numpy as np
 import pytest
 
