@@ -33,8 +33,8 @@ def main():
     algo = A2C(env,
                tree_struct=dict(max_depth=4, n_bins=256, min_data_in_leaf=0,
                                 par_th=2, grow_policy="oblivious"),
-               policy_lr=0.3, value_lr=0.012, policy_algo="Adam",
-               control_variates=True, n_steps=32, ent_coef=0.0033,
+               policy_lr=0.05, value_lr=0.01, policy_algo="Adam",
+               control_variates=True, n_steps=64, ent_coef=0.01,
                log_interval=25, device=args.device)
     t0 = time.time()
     algo.learn(total_timesteps=args.steps, seed=args.seed)

@@ -14,12 +14,12 @@ from .buffers import RolloutBuffer
 
 class A2C:
     def __init__(self, env, tree_struct: Dict = None, params: Dict = None,
-                 policy_lr: float = 0.1, value_lr: float = 0.01,
-                 policy_algo: str = "SGD", n_steps: int = 32,
-                 gamma: float = 0.99, gae_lambda: float = 1.0,
-                 ent_coef: float = 0.0, vf_coef: float = 0.5,
+                 policy_lr: float = 0.05, value_lr: float = 0.01,
+                 policy_algo: str = "SGD", n_steps: int = 64,
+                 gamma: float = 0.99, gae_lambda: float = 0.95,
+                 ent_coef: float = 0.01, vf_coef: float = 0.5,
                  control_variates: bool = False,
-                 normalize_advantage: bool = False,
+                 normalize_advantage: bool = True,
                  log_interval: int = 0, device: str = "tpu"):
         self.env = env
         self.n_envs = env.num_envs
