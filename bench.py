@@ -13,9 +13,12 @@ trees-fit/s stored in BASELINE_REF.json (created by bench_reference/run.sh);
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
