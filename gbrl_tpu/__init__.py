@@ -9,6 +9,10 @@ mesh.
 from .config import TreeConfig, APPROVED_OPTIMIZERS, VALID_OPTIMIZER_ARGS  # noqa: F401
 from .ensemble import Ensemble, init_ensemble  # noqa: F401
 from .optimizers import OptimizerSpec  # noqa: F401
+from .models import (GBTModel, ActorCritic, ParametricActor,  # noqa: F401
+                     GaussianActor, ContinuousCritic, DiscreteCritic)
+from .learners import (GBTLearner, MultiGBTLearner,  # noqa: F401
+                       SharedActorCriticLearner, SeparateActorCriticLearner)
 
 __version__ = "0.1.0"
 
