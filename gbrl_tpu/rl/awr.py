@@ -81,7 +81,8 @@ class AWR:
             a_clip = np.clip(a, low, high)
             next_obs, rew, term, trunc, _ = self.env.step(a_clip)
             done = np.logical_or(term, trunc)
-            O.append(obs); A.append(a); R.append(rew)
+            # replay the EXECUTED (clipped) actions (AWR regresses onto them)
+            O.append(obs); A.append(a_clip); R.append(rew)
             D.append(done.astype(np.float32))
             self._ep_ret += rew
             for i in range(self.n_envs):
@@ -132,12 +133,15 @@ class AWR:
                 loss.backward()
                 self.critic.step()
 
-            # actor updates: advantage-weighted log-prob regression
+            # actor updates: advantage-weighted log-prob regression with
+            # batch-standardized advantages (raw return scales saturate the
+            # exponential weights otherwise)
             for _ in range(self.actor_updates):
                 mb = rng.integers(0, len(r_obs), self.batch_size)
                 v = np.asarray(self.critic(r_obs[mb], requires_grad=False,
                                            tensor=False)).reshape(-1)
                 adv = r_ret[mb] - v
+                adv = (adv - adv.mean()) / (adv.std() + 1e-8)
                 w = np.exp(np.minimum(adv / self.beta,
                                       np.log(self.max_weight)))
                 mu, log_std = self.actor(r_obs[mb], requires_grad=True)

@@ -54,3 +54,37 @@ def test_awr_pendulum_runs():
     assert algo.actor.get_num_trees() > 0
     assert algo.critic.get_num_trees() > 0
     assert np.isfinite(algo.mean_reward())
+
+
+def test_awr_actor_update_direction():
+    """The AWR actor update must move mu toward high-weight actions
+    (synthetic check of the weighted log-prob regression plumbing)."""
+    import torch as th
+    from torch.distributions import Normal
+    from gbrl_tpu.models.actor import GaussianActor
+
+    rng = np.random.default_rng(0)
+    N, obs_dim = 200, 3
+    obs = rng.normal(size=(N, obs_dim)).astype(np.float32)
+    target = 2 * obs[:, :1]
+    actor = GaussianActor(
+        tree_struct={"max_depth": 3, "n_bins": 16,
+                     "grow_policy": "oblivious"},
+        input_dim=obs_dim, output_dim=2,
+        mu_optimizer={"mu_algo": "SGD", "mu_lr": 0.1, "start_idx": 0,
+                      "stop_idx": 1},
+        std_optimizer={"std_algo": "SGD", "std_lr": 0.01, "start_idx": 1,
+                       "stop_idx": 2},
+        log_std_init=-0.3, device="cpu")
+    errs = []
+    for it in range(30):
+        actions = target + rng.normal(size=(N, 1)).astype(np.float32)
+        w = np.exp(-0.5 * ((actions - target) ** 2).sum(1))
+        mu, log_std = actor(obs, requires_grad=True)
+        dist = Normal(mu, th.exp(log_std))
+        logp = dist.log_prob(th.as_tensor(actions)).sum(-1)
+        (-(th.as_tensor(w, dtype=th.float32) * logp).mean()).backward()
+        actor.step()
+        mu_now, _ = actor(obs, requires_grad=False)
+        errs.append(float(((mu_now.detach().numpy() - target) ** 2).mean()))
+    assert errs[-1] < errs[0] * 0.3, f"no convergence: {errs[0]} -> {errs[-1]}"
