@@ -470,6 +470,13 @@ class GBTLearner(BaseLearner):
                                modelname or "gbrl_model", self.specs,
                                export_format)
 
+    def save_reference_format(self, filename: str) -> None:
+        """Write a reference-compatible binary .gbrl_model (round-trip
+        verified: the unmodified reference C++ loads it and reproduces our
+        predictions; tests/test_reference_import.py)."""
+        from ..utils.reference_export import export_reference_model
+        export_reference_model(self, filename)
+
     def distil(self, obs, targets, params: Dict, verbose: int = 0):
         """Train a compact student on this ensemble's outputs and swap it in
         (reference: gbt_learner.py:502-551)."""

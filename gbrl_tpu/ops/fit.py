@@ -262,22 +262,37 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
         counts_arr = counts_arr.at[lo:lo + n_nodes].set(node_cnt)
         depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
 
-        # route samples: numeric bucket > b (== x > thr), or code equality
-        s_do = do_split[node_rel]
-        s_isnum = is_num_sel[node_rel]
+        # route samples: numeric bucket > b (== x > thr), or code equality.
+        # All per-sample lookups are dense one-hot selects / small matmuls —
+        # TPU gathers over per-sample indices lower to scalar loops.
+        node_oh = (node_rel[:, None]
+                   == jnp.arange(n_nodes, dtype=jnp.int32)[None, :]
+                   ).astype(jnp.float32)                     # [N, n_nodes]
         if has_num:
-            xb_sel = jnp.take_along_axis(Xb, f_num[node_rel][:, None],
-                                         axis=1)[:, 0]
-            go_num = xb_sel > b_num[node_rel]
+            foh = (f_num[None, :] == jnp.arange(F, dtype=jnp.int32)[:, None]
+                   ).astype(jnp.float32)                     # [F, n_nodes]
+            xsel = jax.lax.dot_general(                      # [N, n_nodes]
+                Xb.astype(jnp.float32), foh,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            go_num_k = xsel > b_num[None, :].astype(jnp.float32)
         else:
-            go_num = jnp.zeros((N,), dtype=bool)
+            go_num_k = jnp.zeros((N, n_nodes), dtype=bool)
         if has_cat:
-            xc_sel = jnp.take_along_axis(Xc, f_cat[node_rel][:, None],
-                                         axis=1)[:, 0]
-            go_cat = xc_sel == c_cat[node_rel]
+            coh = (f_cat[None, :] == jnp.arange(Fc, dtype=jnp.int32)[:, None]
+                   ).astype(jnp.float32)
+            xcsel = jax.lax.dot_general(
+                Xc.astype(jnp.float32), coh,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            go_cat_k = xcsel == c_cat[None, :].astype(jnp.float32)
         else:
-            go_cat = jnp.zeros((N,), dtype=bool)
-        go_right = s_do & jnp.where(s_isnum, go_num, go_cat)
+            go_cat_k = jnp.zeros((N, n_nodes), dtype=bool)
+        go_k = jnp.where(is_num_sel[None, :], go_num_k, go_cat_k)
+        go_k = go_k & do_split[None, :]
+        go_right = jnp.sum(node_oh * go_k.astype(jnp.float32), axis=1) > 0.5
         node_rel = node_rel * 2 + go_right.astype(jnp.int32)
 
         # children inherit the path plus the new condition
