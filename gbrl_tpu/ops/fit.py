@@ -85,11 +85,12 @@ def _nan_to_neginf(x: jax.Array) -> jax.Array:
 
 
 def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
-    """Per (feature, node, bucket) gradient sums and counts.
+    """Per (feature, node, bucket) gradient sums and counts combined.
 
     Xb [N, F] int32 buckets, node_rel [N] int32, build_grads [N, O],
-    sample_w [N] -> (sums [F, n_nodes, n_buckets, O], cnts [F, n_nodes, n_buckets]).
-    One fused segment-sum: counts ride along as an extra output column.
+    sample_w [N] -> hist [F, n_nodes, n_buckets, O+1] (last column = counts).
+    One fused segment-sum: counts ride along as an extra output column so the
+    downstream cumsum also runs once.
     """
     N, F = Xb.shape
     O = build_grads.shape[-1]
@@ -100,8 +101,7 @@ def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
     data = jnp.broadcast_to(data[:, None, :], (N, F, O + 1)).reshape(N * F, O + 1)
     hist = jax.ops.segment_sum(data, ids.reshape(-1),
                                num_segments=F * n_nodes * n_buckets)
-    hist = hist.reshape(F, n_nodes, n_buckets, O + 1)
-    return hist[..., :O], hist[..., O]
+    return hist.reshape(F, n_nodes, n_buckets, O + 1)
 
 
 def _node_stats(node_rel, build_grads, sample_w, n_nodes):
@@ -165,18 +165,20 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
 
     for d in range(D):
         n_nodes = 1 << d
-        node_sum, node_cnt = _node_stats(node_rel, build_grads, sample_w,
-                                         n_nodes)
         parts = []
+        node_sum = node_cnt = None
         if has_num:
-            hsums, hcnts = _level_histogram(Xb, node_rel, build_grads,
-                                            sample_w, n_nodes, B + 1)
-            cs = jnp.cumsum(hsums, axis=2)            # [F, n_nodes, B+1, O]
-            cc = jnp.cumsum(hcnts, axis=2)
-            right_sum = node_sum[None, :, None, :] - cs[:, :, :B, :]
-            right_cnt = node_cnt[None, :, None] - cc[:, :, :B]
-            sc = split_scores(cs[:, :, :B, :], cc[:, :, :B],
-                              right_sum, right_cnt, score_fn,
+            hist = _level_histogram(Xb, node_rel, build_grads,
+                                    sample_w, n_nodes, B + 1)
+            cs_all = jnp.cumsum(hist, axis=2)         # [F, n_nodes, B+1, O+1]
+            # node totals are any feature's full marginal (feature 0)
+            node_sum = cs_all[0, :, B, :O]            # [n_nodes, O]
+            node_cnt = cs_all[0, :, B, O]             # [n_nodes]
+            cs = cs_all[:, :, :B, :O]
+            cc = cs_all[:, :, :B, O]
+            right_sum = node_sum[None, :, None, :] - cs
+            right_cnt = node_cnt[None, :, None] - cc
+            sc = split_scores(cs, cc, right_sum, right_cnt, score_fn,
                               cfg.min_data_in_leaf)   # [F, n_nodes, B]
             sc = jnp.transpose(sc, (1, 0, 2))         # [n_nodes, F, B]
             if d > 0:
@@ -189,9 +191,13 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
                     & (pv == cand_vals[None, None, :, :]), axis=1)
                 sc = jnp.where(blocked, NEG_INF, sc)
             parts.append((sc * feat_w[None, :, None]).reshape(n_nodes, F * B))
+        if node_sum is None:
+            node_sum, node_cnt = _node_stats(node_rel, build_grads, sample_w,
+                                             n_nodes)
         if has_cat:
-            csums, ccnts = _level_histogram(Xc, node_rel, build_grads,
-                                            sample_w, n_nodes, V)
+            chist = _level_histogram(Xc, node_rel, build_grads,
+                                     sample_w, n_nodes, V)
+            csums, ccnts = chist[..., :O], chist[..., O]
             right_sum = csums                          # right = code match
             right_cnt = ccnts
             left_sum = node_sum[None, :, None, :] - right_sum
