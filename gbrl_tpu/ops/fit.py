@@ -149,17 +149,15 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
     score_fn = cfg.score
 
     node_rel = jnp.zeros((N,), dtype=jnp.int32)
-    feat_arr = jnp.full((L - 1,), -1, dtype=jnp.int32)
-    thr_arr = jnp.zeros((L - 1,), dtype=jnp.float32)
-    code_arr = jnp.full((L - 1,), -1, dtype=jnp.int32)
-    split_arr = jnp.zeros((L - 1,), dtype=bool)
-    isnum_arr = jnp.ones((L - 1,), dtype=bool)
-    counts_arr = jnp.zeros((2 * L - 1,), dtype=jnp.float32)
-    # path conditions for the no-reuse rule (node.cpp:153-166)
-    path_feat = jnp.full((1, D), -1, dtype=jnp.int32)
-    path_val = jnp.full((1, D), jnp.nan, dtype=jnp.float32)
-    path_code = jnp.full((1, D), -1, dtype=jnp.int32)
-    path_isnum = jnp.zeros((1, D), dtype=bool)
+    # per-level outputs, concatenated once after the loop (fewer kernels
+    # than D in-place updates per array)
+    lv_feat, lv_thr, lv_code = [], [], []
+    lv_split, lv_isnum, lv_cnt = [], [], []
+    # no-reuse-on-path rule (node.cpp:153-166) carried as per-node candidate
+    # masks: child mask = parent mask | chosen candidate (value-equality,
+    # so duplicate grid entries block together)
+    blocked_num = (jnp.zeros((1, F, B), dtype=bool) if has_num else None)
+    blocked_cat = (jnp.zeros((1, Fc, V), dtype=bool) if has_cat else None)
     alive = jnp.array(True)     # oblivious growth flag (fitter.cpp:458-459)
     depth_reached = jnp.zeros((), dtype=jnp.int32)
 
@@ -182,14 +180,7 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
                               cfg.min_data_in_leaf)   # [F, n_nodes, B]
             sc = jnp.transpose(sc, (1, 0, 2))         # [n_nodes, F, B]
             if d > 0:
-                pf = path_feat[:, :d, None, None]
-                pv = path_val[:, :d, None, None]
-                pnum = path_isnum[:, :d, None, None]
-                blocked = jnp.any(
-                    pnum
-                    & (pf == jnp.arange(F)[None, None, :, None])
-                    & (pv == cand_vals[None, None, :, :]), axis=1)
-                sc = jnp.where(blocked, NEG_INF, sc)
+                sc = jnp.where(blocked_num, NEG_INF, sc)
             parts.append((sc * feat_w[None, :, None]).reshape(n_nodes, F * B))
         if node_sum is None:
             node_sum, node_cnt = _node_stats(node_rel, build_grads, sample_w,
@@ -207,14 +198,7 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
             scc = jnp.transpose(scc, (1, 0, 2))        # [n_nodes, Fc, V]
             scc = jnp.where(cat_valid[None, :, :], scc, NEG_INF)
             if d > 0:
-                pf = path_feat[:, :d, None, None]
-                pc = path_code[:, :d, None, None]
-                pnum = path_isnum[:, :d, None, None]
-                blocked = jnp.any(
-                    (~pnum)
-                    & (pf == jnp.arange(Fc)[None, None, :, None])
-                    & (pc == jnp.arange(V)[None, None, None, :]), axis=1)
-                scc = jnp.where(blocked, NEG_INF, scc)
+                scc = jnp.where(blocked_cat, NEG_INF, scc)
             parts.append((scc * feat_w_cat[None, :, None]
                           ).reshape(n_nodes, Fc * V))
         adj = jnp.concatenate(parts, axis=1)           # [n_nodes, F*B + Fc*V]
@@ -256,16 +240,12 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
         v_sel = cand_vals[f_num, b_num] if has_num else \
             jnp.zeros((n_nodes,), dtype=jnp.float32)
         f_sel = jnp.where(is_num_sel, f_num, f_cat)
-        lo = n_nodes - 1                               # heap level start
-        feat_arr = feat_arr.at[lo:lo + n_nodes].set(
-            jnp.where(do_split, f_sel, -1))
-        thr_arr = thr_arr.at[lo:lo + n_nodes].set(
-            jnp.where(do_split & is_num_sel, v_sel, 0.0))
-        code_arr = code_arr.at[lo:lo + n_nodes].set(
-            jnp.where(do_split & ~is_num_sel, c_cat, -1))
-        isnum_arr = isnum_arr.at[lo:lo + n_nodes].set(is_num_sel)
-        split_arr = split_arr.at[lo:lo + n_nodes].set(do_split)
-        counts_arr = counts_arr.at[lo:lo + n_nodes].set(node_cnt)
+        lv_feat.append(jnp.where(do_split, f_sel, -1))
+        lv_thr.append(jnp.where(do_split & is_num_sel, v_sel, 0.0))
+        lv_code.append(jnp.where(do_split & ~is_num_sel, c_cat, -1))
+        lv_isnum.append(is_num_sel)
+        lv_split.append(do_split)
+        lv_cnt.append(node_cnt)
         depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
 
         # route samples: numeric bucket > b (== x > thr), or code equality.
@@ -301,16 +281,30 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
         go_right = jnp.sum(node_oh * go_k.astype(jnp.float32), axis=1) > 0.5
         node_rel = node_rel * 2 + go_right.astype(jnp.int32)
 
-        # children inherit the path plus the new condition
+        # children inherit the parent's blocked mask plus the chosen split
         rep = jnp.repeat(jnp.arange(n_nodes), 2)
-        path_feat = path_feat[rep].at[:, d].set(
-            jnp.where(do_split, f_sel, -1)[rep])
-        path_val = path_val[rep].at[:, d].set(
-            jnp.where(do_split & is_num_sel, v_sel, jnp.nan)[rep])
-        path_code = path_code[rep].at[:, d].set(
-            jnp.where(do_split & ~is_num_sel, c_cat, -1)[rep])
-        path_isnum = path_isnum[rep].at[:, d].set(
-            (do_split & is_num_sel)[rep])
+        sel_num = do_split & is_num_sel
+        sel_cat = do_split & ~is_num_sel
+        if has_num:
+            chosen = (sel_num[:, None, None]
+                      & (f_num[:, None, None] == jnp.arange(F)[None, :, None])
+                      & (v_sel[:, None, None] == cand_vals[None, :, :]))
+            blocked_num = (blocked_num | chosen)[rep]
+        if has_cat:
+            chosen_c = (sel_cat[:, None, None]
+                        & (f_cat[:, None, None]
+                           == jnp.arange(Fc)[None, :, None])
+                        & (c_cat[:, None, None]
+                           == jnp.arange(V)[None, None, :]))
+            blocked_cat = (blocked_cat | chosen_c)[rep]
+
+    feat_arr = jnp.concatenate(lv_feat)
+    thr_arr = jnp.concatenate(lv_thr)
+    code_arr = jnp.concatenate(lv_code)
+    isnum_arr = jnp.concatenate(lv_isnum)
+    split_arr = jnp.concatenate(lv_split)
+    counts_arr = jnp.concatenate(
+        lv_cnt + [jnp.zeros((L,), dtype=jnp.float32)])
 
     # leaf values = masked mean of raw gradients (fitter.cpp:545-582)
     wg = jnp.concatenate([grads * sample_w[:, None], sample_w[:, None]], axis=-1)
