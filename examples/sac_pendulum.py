@@ -1,0 +1,58 @@
+"""SAC with GBT actor + twin parametric Q-critics on Pendulum-v1.
+
+The reference delegates SAC to its companion repo GBRL_SB3 (reference
+README.md:19); this framework ships it in-repo.  The critic trees output
+Q-function *parameters* theta(s) (linear / quadratic / tanh forms,
+reference gbrl/models/critic.py:42-54) so dQ/da is analytic, and the
+target network is the ensemble prefix — older trees, no polyak copies.
+
+Usage: python examples/sac_pendulum.py [--steps 30000] [--q-func quadratic]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import gymnasium as gym
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="Pendulum-v1")
+    ap.add_argument("--steps", type=int, default=30_000)
+    ap.add_argument("--n-envs", type=int, default=8)
+    ap.add_argument("--q-func", default="quadratic",
+                    choices=["linear", "quadratic", "tanh"])
+    ap.add_argument("--device", default="tpu")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from gbrl_tpu.rl.sac import SAC
+
+    env = gym.vector.SyncVectorEnv(
+        [lambda: gym.make(args.env)] * args.n_envs)
+    algo = SAC(env, q_func_type=args.q_func,
+               actor_lr=0.02, critic_lr=0.05,
+               learning_starts=1000, batch_size=256, train_freq=4,
+               target_update_interval=100, log_interval=200,
+               device=args.device)
+    t0 = time.time()
+    algo.learn(total_timesteps=args.steps, seed=args.seed)
+    dt = time.time() - t0
+    env.close()
+    print(f"done: {args.steps} steps in {dt:.1f}s "
+          f"({args.steps / dt:.0f} env-steps/s), "
+          f"actor trees {algo.actor.get_num_trees()}, "
+          f"ep_rew_mean(100) {algo.mean_reward():.1f}")
+
+
+if __name__ == "__main__":
+    main()

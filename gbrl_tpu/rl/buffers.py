@@ -67,3 +67,39 @@ class RolloutBuffer:
         return (self.obs.reshape(n, -1), acts,
                 self.log_probs.reshape(n), self.advantages.reshape(n),
                 self.returns.reshape(n), self.values.reshape(n))
+
+
+class ReplayBuffer:
+    """Uniform off-policy ring buffer (for SAC)."""
+
+    def __init__(self, capacity: int, obs_dim: int, act_dim: int):
+        self.capacity = capacity
+        self.obs = np.zeros((capacity, obs_dim), dtype=np.float32)
+        self.actions = np.zeros((capacity, act_dim), dtype=np.float32)
+        self.rewards = np.zeros(capacity, dtype=np.float32)
+        self.next_obs = np.zeros((capacity, obs_dim), dtype=np.float32)
+        self.dones = np.zeros(capacity, dtype=np.float32)
+        self.pos = 0
+        self.full = False
+
+    def __len__(self) -> int:
+        return self.capacity if self.full else self.pos
+
+    def add(self, obs, action, reward, next_obs, done):
+        """Add a batch of [n_envs, ...] transitions."""
+        n = len(obs)
+        idx = (self.pos + np.arange(n)) % self.capacity
+        self.obs[idx] = obs.reshape(n, -1)
+        self.actions[idx] = action.reshape(n, -1)
+        self.rewards[idx] = reward
+        self.next_obs[idx] = next_obs.reshape(n, -1)
+        self.dones[idx] = done
+        self.pos += n
+        if self.pos >= self.capacity:
+            self.full = True
+            self.pos %= self.capacity
+
+    def sample(self, batch_size: int, rng):
+        idx = rng.integers(0, len(self), batch_size)
+        return (self.obs[idx], self.actions[idx], self.rewards[idx],
+                self.next_obs[idx], self.dones[idx])
