@@ -29,7 +29,8 @@ class PPO:
                  max_value_grad_norm: Optional[float] = None,
                  normalize_advantage: bool = True,
                  log_interval: int = 0, device: str = "tpu",
-                 total_iterations: Optional[int] = None):
+                 total_iterations: Optional[int] = None,
+                 jit_update: bool = True):
         self.env = env
         self.n_envs = env.num_envs
         obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -60,6 +61,7 @@ class PPO:
         self.max_policy_grad_norm = max_policy_grad_norm
         self.max_value_grad_norm = max_value_grad_norm
         self.normalize_advantage = normalize_advantage
+        self.jit_update = jit_update
         self.log_interval = log_interval
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
@@ -91,14 +93,40 @@ class PPO:
         return obs, dones
 
     # --------------------------------------------------------------- update
+    def _can_jit_update(self) -> bool:
+        from ..learners.actor_critic_learner import SharedActorCriticLearner
+        lr = self.model.learner
+        return (self.jit_update
+                and isinstance(lr, SharedActorCriticLearner)
+                and all(s.algo == "SGD" for s in lr.specs)
+                and lr.vocab is None)
+
     def update(self, buffer: RolloutBuffer, rng):
         """PPO epochs over minibatches; one tree per minibatch update.
+
+        Default path: the whole update phase (every epoch x minibatch) runs
+        as ONE device program (rl/jit_update.ppo_update_loop) — one host
+        round trip per phase instead of two per minibatch.  The torch
+        facade path below is kept for Adam / categorical / separate-learner
+        configs and as the semantics reference.
 
         Predictions for the whole rollout are fetched through the learner's
         incremental cache: after each tree only the NEW tree is evaluated on
         the rollout (leaf values are immutable), so an update phase costs
         O(new_trees * N) instead of O(ensemble * N) per minibatch."""
         obs, actions, old_log_probs, advantages, returns, _ = buffer.flat()
+        if self._can_jit_update():
+            from .jit_update import PPOHyper, run_ppo_update
+            hp = PPOHyper(
+                n_actions=self.n_actions, clip_range=self.clip_range,
+                ent_coef=self.ent_coef, vf_coef=self.vf_coef,
+                normalize_advantage=self.normalize_advantage,
+                policy_clip=self.max_policy_grad_norm or 0.0,
+                value_clip=self.max_value_grad_norm or 0.0)
+            run_ppo_update(self.model.learner, obs, actions, old_log_probs,
+                           advantages, returns, hp, self.n_epochs,
+                           self.batch_size, rng)
+            return
         n = len(obs)
         na = self.n_actions
         for _ in range(self.n_epochs):
