@@ -86,7 +86,8 @@ class SAC:
                  target_update_interval: int = 100,
                  ent_coef="auto", target_entropy: Optional[float] = None,
                  log_std_init: float = -1.0, max_grad_norm: float = 10.0,
-                 log_interval: int = 0, device: str = "tpu"):
+                 log_interval: int = 0, device: str = "tpu",
+                 jit_train: bool = True):
         self.env = env
         self.n_envs = env.num_envs
         obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -141,6 +142,8 @@ class SAC:
         self.gradient_steps = gradient_steps
         self.max_grad_norm = max_grad_norm
         self.log_interval = log_interval
+        self.jit_train = jit_train
+        self._jax_key = None
         self.buffer = ReplayBuffer(buffer_size, obs_dim, act_dim)
 
         self.target_entropy = (float(target_entropy)
@@ -241,6 +244,18 @@ class SAC:
     def train_step(self, gen: th.Generator, rng) -> Dict[str, float]:
         obs, actions, rewards, next_obs, dones = \
             self.buffer.sample(self.batch_size, rng)
+        if self.jit_train:
+            # fused device program: 1 round trip instead of ~10
+            import jax
+            from .jit_sac import run_sac_train_step
+            if self._jax_key is None:
+                self._jax_key = jax.random.PRNGKey(
+                    int(gen.initial_seed()) & 0x7FFFFFFF)
+            self._jax_key, sub = jax.random.split(self._jax_key)
+            info = run_sac_train_step(self, obs, actions, rewards,
+                                      next_obs, dones, sub)
+            info["alpha"] = self.alpha
+            return info
         y = (th.as_tensor(rewards)
              + self.gamma * th.as_tensor(1.0 - dones)
              * self._target_q(next_obs, gen))

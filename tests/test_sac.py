@@ -81,12 +81,14 @@ class _BanditEnv(gym.Env):
         return obs, r, True, False, {}
 
 
-@pytest.mark.parametrize("q_func_type", ["linear", "quadratic", "tanh"])
-def test_sac_bandit_improves(q_func_type):
+@pytest.mark.parametrize("q_func_type,jit_train", [
+    ("linear", True), ("linear", False),
+    ("quadratic", True), ("tanh", True)])
+def test_sac_bandit_improves(q_func_type, jit_train):
     monotone = q_func_type == "tanh"
     env = gym.vector.SyncVectorEnv(
         [lambda: _BanditEnv(monotone=monotone)] * 8)
-    algo = SAC(env, q_func_type=q_func_type,
+    algo = SAC(env, q_func_type=q_func_type, jit_train=jit_train,
                tree_struct=dict(max_depth=3, n_bins=32, min_data_in_leaf=0,
                                 par_th=2, grow_policy="oblivious"),
                actor_lr=0.1, critic_lr=0.1, batch_size=256,
