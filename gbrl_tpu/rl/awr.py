@@ -27,7 +27,8 @@ class AWR:
                  batch_size: int = 512, buffer_size: int = 50000,
                  log_std_init: float = -0.5,
                  feature_weights=None,
-                 log_interval: int = 0, device: str = "tpu"):
+                 log_interval: int = 0, device: str = "tpu",
+                 jit_update: bool = True):
         self.env = env
         self.n_envs = env.num_envs
         obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -61,6 +62,7 @@ class AWR:
         self.batch_size = batch_size
         self.buffer_size = buffer_size
         self.log_interval = log_interval
+        self.jit_update = jit_update
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
         self._replay = []   # list of (obs, act, ret) batches
@@ -124,6 +126,21 @@ class AWR:
             r_obs = np.concatenate([x[0] for x in self._replay])
             r_act = np.concatenate([x[1] for x in self._replay])
             r_ret = np.concatenate([x[2] for x in self._replay])
+
+            if self.jit_update and self.actor.learner.vocab is None:
+                # fused device loop: all critic + actor boosting steps of
+                # this iteration in one jit call (rl/jit_awr.py)
+                from .jit_awr import run_awr_update
+                run_awr_update(self, r_obs, r_act, r_ret, rng)
+                steps += self.n_steps
+                it += 1
+                if self.log_interval and it % self.log_interval == 0:
+                    mean100 = (np.mean(self.episode_rewards[-100:])
+                               if self.episode_rewards else float("nan"))
+                    print(f"iter {it} steps {steps} actor_trees "
+                          f"{self.actor.get_num_trees()} "
+                          f"ep_rew_mean {mean100:.1f}")
+                continue
 
             # critic updates: one tree per minibatch regression step
             for _ in range(self.critic_updates):

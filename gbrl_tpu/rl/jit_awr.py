@@ -1,0 +1,141 @@
+"""Device-resident AWR update phase: every critic regression step and every
+advantage-weighted actor step of one iteration runs inside a single jit
+call (the facade path in rl/awr.py makes ~2 synchronous device calls per
+update — ~20-40 round trips per rollout on a tunneled TPU).
+
+Semantics mirror rl/awr.py learn(): critic minibatch regression on
+bootstrapped returns (one tree per step), then actor advantage-weighted
+log-prob regression with batch-standardized advantages (population std,
+matching the facade's np.std) against the UPDATED critic.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TreeConfig
+from ..ensemble import Ensemble, ensure_capacity
+from ..optimizers import OptimizerSpec
+from ..ops.boosting import predict_sgd
+from .jit_sac import _boost
+
+
+class AWRHyper(NamedTuple):
+    act_dim: int
+    beta: float
+    max_weight: float
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(5, 6))
+def awr_update_loop(acfg: TreeConfig, ccfg: TreeConfig, hp: AWRHyper,
+                    specs: Tuple[Tuple[OptimizerSpec, ...], ...],
+                    n_updates: Tuple[int, int],
+                    actor_ens: Ensemble, critic_ens: Ensemble,
+                    X: jax.Array, acts: jax.Array, rets: jax.Array,
+                    cmb_idx: jax.Array, amb_idx: jax.Array,
+                    feat_w: jax.Array):
+    """X [B, F] replay observations; acts [B, A]; rets [B]; cmb_idx
+    [Kc, mb] / amb_idx [Ka, mb] minibatch row plans.  Returns
+    (actor_ens, critic_ens, (critic_loss_trace, actor_loss_trace))."""
+    actor_specs, critic_specs = specs
+    Kc, Ka = n_updates
+    A = hp.act_dim
+    mb = cmb_idx.shape[1]
+
+    # ---- critic: one regression tree per minibatch step
+    def cbody(k, carry):
+        ens, trace = carry
+        idx = jax.lax.dynamic_slice(cmb_idx, (k, 0), (1, mb))[0]
+        Xmb = jnp.take(X, idx, axis=0)
+        r = jnp.take(rets, idx)
+        v = predict_sgd(ccfg, ens, Xmb, critic_specs, 0, ens.capacity)[:, 0]
+        g = (v - r)[:, None]          # d/dv[0.5*mse] * n
+        ens = _boost(ccfg, ens, Xmb, g, feat_w)
+        return ens, trace.at[k].set(0.5 * jnp.mean((v - r) ** 2))
+
+    ctrace0 = jnp.zeros((max(Kc, 1),), dtype=jnp.float32)
+    critic_ens, ctrace = jax.lax.fori_loop(0, Kc, cbody,
+                                           (critic_ens, ctrace0))
+
+    # ---- actor: advantage-weighted log-prob regression
+    def abody(k, carry):
+        ens, trace = carry
+        idx = jax.lax.dynamic_slice(amb_idx, (k, 0), (1, mb))[0]
+        Xmb = jnp.take(X, idx, axis=0)
+        a = jnp.take(acts, idx, axis=0)
+        r = jnp.take(rets, idx)
+        v = predict_sgd(ccfg, critic_ens, Xmb, critic_specs, 0,
+                        critic_ens.capacity)[:, 0]
+        adv = r - v
+        adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+        w = jnp.exp(jnp.minimum(adv / hp.beta,
+                                jnp.log(hp.max_weight)))
+        theta = predict_sgd(acfg, ens, Xmb, actor_specs, 0, ens.capacity)
+
+        def loss_fn(th_):
+            mu, log_std = th_[:, :A], th_[:, A:]
+            std = jnp.exp(log_std)
+            logp = jnp.sum(-0.5 * ((a - mu) / std) ** 2 - log_std
+                           - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
+            return -jnp.mean(w * logp)
+
+        loss, g = jax.value_and_grad(loss_fn)(theta)
+        ens = _boost(acfg, ens, Xmb, g * mb, feat_w)
+        return ens, trace.at[k].set(loss)
+
+    atrace0 = jnp.zeros((max(Ka, 1),), dtype=jnp.float32)
+    actor_ens, atrace = jax.lax.fori_loop(0, Ka, abody,
+                                          (actor_ens, atrace0))
+    return actor_ens, critic_ens, (ctrace, atrace)
+
+
+def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
+                   r_ret: np.ndarray, rng) -> None:
+    """Host wrapper: build the minibatch plans, ship the replay once, run
+    the fused loop, update both learners in place."""
+    actor_lr = algo.actor.learner
+    critic_lr = algo.critic.learner
+    B = len(r_obs)
+    mb = min(algo.batch_size, B)
+    Kc, Ka = algo.critic_updates, algo.actor_updates
+    cmb = rng.integers(0, B, (max(Kc, 1), mb)).astype(np.int32)
+    amb = rng.integers(0, B, (max(Ka, 1), mb)).astype(np.int32)
+
+    # pad the replay to a power-of-two length so the jit signature only
+    # changes O(log buffer_size) times as the replay grows (the minibatch
+    # plans never index past B, so padding rows are dead weight only)
+    B_pad = 1 << (B - 1).bit_length()
+    if B_pad != B:
+        r_obs = np.concatenate(
+            [r_obs, np.zeros((B_pad - B,) + r_obs.shape[1:],
+                             r_obs.dtype)])
+        r_act = np.concatenate(
+            [r_act, np.zeros((B_pad - B,) + r_act.shape[1:],
+                             r_act.dtype)])
+        r_ret = np.concatenate([r_ret, np.zeros(B_pad - B, r_ret.dtype)])
+
+    Xn, Xc = actor_lr._prepare(r_obs, grow_vocab=False)
+    assert Xc is None, "jit AWR supports numerical features only"
+    actor_lr.ens = ensure_capacity(actor_lr.ens,
+                                   int(actor_lr.ens.n_trees) + Ka)
+    critic_lr.ens = ensure_capacity(critic_lr.ens,
+                                    int(critic_lr.ens.n_trees) + Kc)
+    hp = AWRHyper(act_dim=algo.act_dim, beta=algo.beta,
+                  max_weight=algo.max_weight)
+    specs = (actor_lr.specs, critic_lr.specs)
+    actor_lr.ens, critic_lr.ens, _ = awr_update_loop(
+        actor_lr.cfg, critic_lr.cfg, hp, specs, (Kc, Ka),
+        actor_lr.ens, critic_lr.ens, Xn,
+        jnp.asarray(r_act.astype(np.float32)),
+        jnp.asarray(r_ret.astype(np.float32)),
+        jnp.asarray(cmb), jnp.asarray(amb),
+        actor_lr._internal_feature_weights())
+    actor_lr.total_iterations += Ka
+    actor_lr._pred_cache = None
+    critic_lr.total_iterations += Kc
+    critic_lr._pred_cache = None

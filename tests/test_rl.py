@@ -42,11 +42,12 @@ def test_a2c_adam_cv_runs_and_improves():
     assert r > 30, f"A2C mean reward {r} <= 30"
 
 
-def test_awr_pendulum_runs():
+@pytest.mark.parametrize("jit_update", [True, False])
+def test_awr_pendulum_runs(jit_update):
     env = gym.vector.SyncVectorEnv(
         [lambda: gym.make("Pendulum-v1")] * 4)
     algo = AWR(env, n_steps=512, actor_updates=4, critic_updates=4,
-               batch_size=256, beta=0.5, device="cpu",
+               batch_size=256, beta=0.5, device="cpu", jit_update=jit_update,
                tree_struct=dict(max_depth=3, n_bins=32, min_data_in_leaf=0,
                                 par_th=2, grow_policy="oblivious"))
     algo.learn(total_timesteps=4096, seed=0)
