@@ -408,15 +408,20 @@ class GBTLearner(BaseLearner):
         plot_tree(self.cfg, self.ens, tree_idx, filename)
 
     def tree_shap(self, tree_idx: int, features) -> np.ndarray:
-        from ..ops.shap import tree_shap_values
+        """SHAP values of one tree [N, input_dim, output_dim] — computed on
+        device (the reference is CPU-only here, gbrl.cpp:1271-1278)."""
+        from ..ops.shap_device import ensemble_shap_device
         Xn, Xc = self._prepare(features, grow_vocab=False)
-        return np.asarray(tree_shap_values(self.cfg, self.ens, int(tree_idx),
-                                           Xn, Xc))
+        return np.asarray(ensemble_shap_device(
+            self.cfg, self.ens, Xn, Xc, self.input_dim,
+            jnp.int32(tree_idx)))
 
     def shap(self, features) -> np.ndarray:
-        from ..ops.shap import ensemble_shap_values
+        """Ensemble SHAP values [N, input_dim, output_dim] on device."""
+        from ..ops.shap_device import ensemble_shap_device
         Xn, Xc = self._prepare(features, grow_vocab=False)
-        return np.asarray(ensemble_shap_values(self.cfg, self.ens, Xn, Xc))
+        return np.asarray(ensemble_shap_device(self.cfg, self.ens, Xn, Xc,
+                                               self.input_dim))
 
     # ------------------------------------------------------------- checkpoint
     def save(self, filename: str) -> None:

@@ -82,3 +82,51 @@ def test_learner_shap_api():
     sv_ens = model.shap(X)
     assert sv_tree.shape == (50, 4, 1)
     np.testing.assert_allclose(sv_tree, sv_ens, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- device path
+@pytest.mark.parametrize("policy", ["greedy", "oblivious"])
+@pytest.mark.parametrize("depth", [2, 3, 4])
+def test_device_shap_matches_host(policy, depth):
+    """The vectorized XLA TreeSHAP must equal the host recursion."""
+    from gbrl_tpu.ops.shap_device import ensemble_shap_device
+    cfg, ens, X = _fit_ensemble(seed=2, n_trees=5, depth=depth,
+                                policy=policy)
+    host = ensemble_shap_values(cfg, ens, X[:16])
+    dev = np.asarray(ensemble_shap_device(cfg, ens, jnp.asarray(X[:16]),
+                                          None, cfg.input_dim))
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_tree_shap_single_tree():
+    from gbrl_tpu.ops.shap_device import ensemble_shap_device
+    cfg, ens, X = _fit_ensemble(seed=5, n_trees=3)
+    for t in range(3):
+        host = tree_shap_values(cfg, ens, t, X[:8])
+        dev = np.asarray(ensemble_shap_device(cfg, ens, jnp.asarray(X[:8]),
+                                              None, cfg.input_dim,
+                                              jnp.int32(t)))
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_shap_categorical():
+    """Mixed numeric/categorical trees: device matches host."""
+    from gbrl_tpu.ops.shap_device import ensemble_shap_device
+    rng = np.random.default_rng(4)
+    N, Fn, Fc, O = 80, 3, 2, 2
+    cfg = TreeConfig(input_dim=Fn + Fc, output_dim=O, n_num_features=Fn,
+                     n_cat_features=Fc, max_depth=3, n_bins=8,
+                     grow_policy="greedy", split_score_func="cosine")
+    X = jnp.asarray(rng.normal(size=(N, Fn)).astype(np.float32))
+    Xc = jnp.asarray(rng.integers(0, 4, (N, Fc)).astype(np.int32))
+    ens = init_ensemble(cfg, capacity=8)
+    fwn = jnp.ones(Fn, dtype=jnp.float32)
+    fwc = jnp.ones(Fc, dtype=jnp.float32)
+    for _ in range(3):
+        g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+        ens = boost_step(cfg, ens, X, g, fwn, Xc, fwc, 8)
+    host = ensemble_shap_values(cfg, ens, np.asarray(X)[:10],
+                                np.asarray(Xc)[:10])
+    dev = np.asarray(ensemble_shap_device(cfg, ens, X[:10], Xc[:10],
+                                          Fn + Fc))
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
