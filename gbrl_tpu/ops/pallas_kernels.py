@@ -49,13 +49,13 @@ def bucketize_pallas(X: jax.Array, cand_vals: jax.Array,
         out_shape=jax.ShapeDtypeStruct((Xp.shape[0], F), jnp.int32),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((t, F), lambda i: (i, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((t, F), lambda i: (i, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
-            pl.BlockSpec((F, B), lambda i: (0, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((F, B), lambda i: (0, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((t, F), lambda i: (i, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
     )(Xp, cand_vals)
