@@ -339,6 +339,22 @@ class GBTLearner(BaseLearner):
             return t
         return out
 
+    def predict_async(self, inputs: NumericalData):
+        """Dispatch a full-ensemble SGD prediction WITHOUT waiting for the
+        result: returns the raw device array [N, output_dim].
+
+        Powers pipelined rollouts: the caller fetches (np.asarray) one env
+        group's predictions while other groups' predicts are in flight, so
+        device round-trip latency overlaps with host env stepping."""
+        assert self.ens is not None, "call reset() first"
+        Xn, Xc = self._prepare(inputs, grow_vocab=False)
+        out = _predict_jit(self.cfg, self.ens, Xn, self.specs,
+                           jnp.int32(0), jnp.int32(self.ens.capacity), Xc)
+        # start the d2h transfer now so the later np.asarray is ~free
+        # (device->host copies otherwise only begin at fetch time)
+        out.copy_to_host_async()
+        return out
+
     # ----------------------------------------------------------- introspection
     def get_iteration(self) -> int:
         return int(self.ens.n_trees) if self.ens is not None else 0

@@ -19,6 +19,15 @@ from .buffers import RolloutBuffer
 
 
 class PPO:
+    """PPO over gymnasium vector envs.
+
+    ``env`` may also be a LIST of vector envs ("env groups"): rollouts then
+    pipeline across groups — while one group's action predictions are being
+    fetched from the device, the other groups' predicts are already in
+    flight (learner.predict_async), hiding device round-trip latency behind
+    host env stepping.  Semantics stay exactly on-policy; only the
+    host/device schedule changes."""
+
     def __init__(self, env, tree_struct: Dict = None, params: Dict = None,
                  policy_lr: float = 0.17, value_lr: float = 0.01,
                  n_steps: int = 512, batch_size: int = 512,
@@ -31,6 +40,11 @@ class PPO:
                  log_interval: int = 0, device: str = "tpu",
                  total_iterations: Optional[int] = None,
                  jit_update: bool = True):
+        self.env_groups = list(env) if isinstance(env, (list, tuple)) \
+            else [env]
+        env = self.env_groups[0]
+        assert all(e.num_envs == env.num_envs for e in self.env_groups), \
+            "all env groups must have the same number of envs"
         self.env = env
         self.n_envs = env.num_envs
         obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -64,12 +78,20 @@ class PPO:
         self.jit_update = jit_update
         self.log_interval = log_interval
         self.episode_rewards = []
-        self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
+        self._ep_ret = np.zeros((len(self.env_groups), self.n_envs),
+                                dtype=np.float64)
 
     # -------------------------------------------------------------- rollout
     def _policy_value(self, obs: np.ndarray):
         theta, value = self.model(obs, requires_grad=False, tensor=True)
         return theta, value
+
+    def _track_episodes(self, g: int, rewards, done_now):
+        self._ep_ret[g] += rewards
+        for i in range(self.n_envs):
+            if done_now[i]:
+                self.episode_rewards.append(self._ep_ret[g, i])
+                self._ep_ret[g, i] = 0.0
 
     def collect_rollout(self, buffer: RolloutBuffer, obs, dones, rng):
         for _ in range(self.n_steps):
@@ -82,15 +104,43 @@ class PPO:
             done_now = np.logical_or(terms, truncs).astype(np.float32)
             buffer.add(obs, actions_np, rewards, dones,
                        value.detach().numpy().reshape(-1), log_probs)
-            self._ep_ret += rewards
-            for i in range(self.n_envs):
-                if done_now[i]:
-                    self.episode_rewards.append(self._ep_ret[i])
-                    self._ep_ret[i] = 0.0
+            self._track_episodes(0, rewards, done_now)
             obs, dones = next_obs, done_now
         _, last_value = self._policy_value(obs)
         buffer.compute_returns(last_value.detach().numpy().reshape(-1), dones)
         return obs, dones
+
+    def collect_rollout_pipelined(self, buffers, obs_list, dones_list, rng):
+        """Multi-group rollout: fetch group g's in-flight predictions, step
+        its envs, dispatch its next predict — while groups g+1.. compute on
+        the device.  The dangling futures after the last step are exactly
+        the bootstrap values."""
+        G = len(self.env_groups)
+        learner = self.model.learner
+        na = self.n_actions
+        futures = [learner.predict_async(obs_list[g]) for g in range(G)]
+        for _ in range(self.n_steps):
+            for g in range(G):
+                preds = np.asarray(futures[g])
+                theta = th.from_numpy(preds[:, :na].copy())
+                value = preds[:, na].copy()
+                dist = Categorical(logits=theta)
+                actions = dist.sample()
+                log_probs = dist.log_prob(actions).numpy()
+                a_np = actions.numpy()
+                next_obs, rewards, terms, truncs, _ = \
+                    self.env_groups[g].step(a_np)
+                done_now = np.logical_or(terms, truncs).astype(np.float32)
+                buffers[g].add(obs_list[g], a_np, rewards, dones_list[g],
+                               value.reshape(-1), log_probs)
+                self._track_episodes(g, rewards, done_now)
+                obs_list[g], dones_list[g] = next_obs, done_now
+                futures[g] = learner.predict_async(next_obs)
+        for g in range(G):
+            preds = np.asarray(futures[g])
+            buffers[g].compute_returns(preds[:, na].reshape(-1),
+                                       dones_list[g])
+        return obs_list, dones_list
 
     # --------------------------------------------------------------- update
     def _can_jit_update(self) -> bool:
@@ -114,7 +164,10 @@ class PPO:
         incremental cache: after each tree only the NEW tree is evaluated on
         the rollout (leaf values are immutable), so an update phase costs
         O(new_trees * N) instead of O(ensemble * N) per minibatch."""
-        obs, actions, old_log_probs, advantages, returns, _ = buffer.flat()
+        buffers = buffer if isinstance(buffer, (list, tuple)) else [buffer]
+        flats = [b.flat() for b in buffers]
+        obs, actions, old_log_probs, advantages, returns = (
+            np.concatenate([f[i] for f in flats]) for i in range(5))
         if self._can_jit_update():
             from .jit_update import PPOHyper, run_ppo_update
             hp = PPOHyper(
@@ -166,16 +219,26 @@ class PPO:
     # ---------------------------------------------------------------- learn
     def learn(self, total_timesteps: int, seed: int = 0):
         rng = np.random.default_rng(seed)
-        obs, _ = self.env.reset(seed=seed)
-        dones = np.zeros(self.n_envs, dtype=np.float32)
-        buffer = RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
-                               self.gamma, self.gae_lambda)
+        G = len(self.env_groups)
+        obs_list, dones_list = [], []
+        for g, e in enumerate(self.env_groups):
+            o, _ = e.reset(seed=seed + g * self.n_envs)
+            obs_list.append(o)
+            dones_list.append(np.zeros(self.n_envs, dtype=np.float32))
+        buffers = [RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
+                                 self.gamma, self.gae_lambda)
+                   for _ in range(G)]
         steps = 0
         it = 0
         while steps < total_timesteps:
-            obs, dones = self.collect_rollout(buffer, obs, dones, rng)
-            self.update(buffer, rng)
-            steps += self.n_steps * self.n_envs
+            if G == 1:
+                obs_list[0], dones_list[0] = self.collect_rollout(
+                    buffers[0], obs_list[0], dones_list[0], rng)
+            else:
+                obs_list, dones_list = self.collect_rollout_pipelined(
+                    buffers, obs_list, dones_list, rng)
+            self.update(buffers, rng)
+            steps += self.n_steps * self.n_envs * G
             it += 1
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])

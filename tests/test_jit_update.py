@@ -117,3 +117,18 @@ def test_jit_ppo_cartpole_learns():
     assert algo.model.get_num_trees() == 240
     r = algo.mean_reward()
     assert r > 55, f"jit-PPO CartPole mean reward {r} <= 55"
+
+
+def test_ppo_env_groups_pipelined_learns():
+    """Pipelined multi-group rollout: same on-policy semantics, same
+    learning behavior; buffers from all groups merge into the update."""
+    groups = [gym.vector.SyncVectorEnv(
+        [lambda: gym.make("CartPole-v1")] * 4) for _ in range(2)]
+    algo = PPO(groups, n_steps=64, batch_size=256, n_epochs=4,
+               policy_lr=0.17, value_lr=0.01, device="cpu")
+    algo.learn(total_timesteps=15000, seed=0)
+    for g in groups:
+        g.close()
+    assert algo.model.get_num_trees() > 0
+    r = algo.mean_reward()
+    assert r > 55, f"grouped PPO mean reward {r} <= 55"
