@@ -84,16 +84,40 @@ def _nan_to_neginf(x: jax.Array) -> jax.Array:
     return jnp.where(jnp.isnan(x), NEG_INF, x)
 
 
+def _node_expand(node_rel, build_grads, sample_w, n_nodes):
+    """[N, O] rows spread over node columns: nd[n, node*(O+1)+c] =
+    (node_rel[n] == node) * (grads | weight)[n, c].  Shape [N, n_nodes*(O+1)]."""
+    N, O = build_grads.shape
+    data = jnp.concatenate(
+        [build_grads * sample_w[:, None], sample_w[:, None]], axis=-1)
+    noh = (node_rel[:, None] == jnp.arange(n_nodes, dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32)
+    return (noh[:, :, None] * data[:, None, :]).reshape(N, n_nodes * (O + 1))
+
+
 def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
     """Per (feature, node, bucket) gradient sums and counts combined.
 
     Xb [N, F] int32 buckets, node_rel [N] int32, build_grads [N, O],
     sample_w [N] -> hist [F, n_nodes, n_buckets, O+1] (last column = counts).
-    One fused segment-sum: counts ride along as an extra output column so the
-    downstream cumsum also runs once.
+
+    On TPU this is the Pallas MXU one-hot contraction
+    (pallas_kernels.level_histogram_pallas, 4.1x XLA's scatter lowering);
+    elsewhere one fused segment-sum (counts ride along as an extra output
+    column so the downstream cumsum also runs once).  Both orders agree to
+    f32 summation-order differences (~3e-4 relative).
     """
+    from .pallas_kernels import hist_vmem_bytes, level_histogram_pallas
+
     N, F = Xb.shape
     O = build_grads.shape[-1]
+    C = n_nodes * (O + 1)
+    if (jax.default_backend() == "tpu"
+            and hist_vmem_bytes(N, F, C, n_buckets) <= 12 * 1024 * 1024):
+        nd = _node_expand(node_rel, build_grads, sample_w, n_nodes)
+        hist = level_histogram_pallas(Xb, nd, n_buckets)   # [F, C, buckets]
+        return hist.reshape(F, n_nodes, O + 1, n_buckets
+                            ).transpose(0, 1, 3, 2)
     ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * n_nodes
            + node_rel[:, None]) * n_buckets + Xb            # [N, F]
     data = jnp.concatenate(
@@ -306,9 +330,14 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
     counts_arr = jnp.concatenate(
         lv_cnt + [jnp.zeros((L,), dtype=jnp.float32)])
 
-    # leaf values = masked mean of raw gradients (fitter.cpp:545-582)
+    # leaf values = masked mean of raw gradients (fitter.cpp:545-582);
+    # one-hot contraction instead of segment_sum — scatter serializes on TPU
     wg = jnp.concatenate([grads * sample_w[:, None], sample_w[:, None]], axis=-1)
-    leaf = jax.ops.segment_sum(wg, node_rel, num_segments=L)
+    leaf_oh = (node_rel[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+               ).astype(jnp.float32)
+    leaf = jax.lax.dot_general(leaf_oh, wg, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
     leaf_cnt = leaf[:, O]
     safe = jnp.where(leaf_cnt > 0, leaf_cnt, 1.0)
     leaf_values = jnp.where(leaf_cnt[:, None] > 0, leaf[:, :O] / safe[:, None], 0.0)

@@ -17,3 +17,34 @@ def test_bucketize_pallas_matches_xla(n, f, b):
     a = bucketize(X, cand)
     out = bucketize_pallas(X, cand, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(out))
+
+
+@pytest.mark.parametrize("n,f,o,n_nodes,buckets",
+                         [(1000, 7, 3, 4, 33), (512, 3, 1, 1, 257),
+                          (100, 1, 2, 8, 9)])
+def test_level_histogram_pallas_matches_segment_sum(n, f, o, n_nodes, buckets):
+    from gbrl_tpu.ops.fit import _node_expand
+    from gbrl_tpu.ops.pallas_kernels import level_histogram_pallas
+
+    rng = np.random.default_rng(1)
+    Xb = jnp.asarray(rng.integers(0, buckets, size=(n, f)).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(n, o)).astype(np.float32))
+    sw = jnp.asarray((rng.random(n) > 0.1).astype(np.float32))
+    node_rel = jnp.asarray(rng.integers(0, n_nodes, size=(n,)).astype(np.int32))
+
+    nd = _node_expand(node_rel, g, sw, n_nodes)
+    got = level_histogram_pallas(Xb, nd, buckets, interpret=True)
+    got = np.asarray(got).reshape(f, n_nodes, o + 1, buckets
+                                  ).transpose(0, 1, 3, 2)
+
+    # segment-sum reference (the non-TPU path of fit._level_histogram)
+    import jax
+    ids = (jnp.arange(f, dtype=jnp.int32)[None, :] * n_nodes
+           + node_rel[:, None]) * buckets + Xb
+    data = jnp.concatenate([g * sw[:, None], sw[:, None]], axis=-1)
+    data = jnp.broadcast_to(data[:, None, :], (n, f, o + 1)
+                            ).reshape(n * f, o + 1)
+    want = jax.ops.segment_sum(data, ids.reshape(-1),
+                               num_segments=f * n_nodes * buckets
+                               ).reshape(f, n_nodes, buckets, o + 1)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
