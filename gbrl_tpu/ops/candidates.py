@@ -64,10 +64,14 @@ def bucketize(X: jax.Array, cand_vals: jax.Array) -> jax.Array:
 
     bucket(x) = #candidates with value < x  (== searchsorted side='left' on
     an ascending grid), giving ``x > cand[f, b] <=> bucket(x) > b`` for every
-    b.  Values land in [0, B] (B+1 buckets).  Implemented as a broadcast
-    compare + popcount — one fused VPU pass, ~5x faster on TPU than the
-    vmapped searchsorted lowering.
+    b.  Values land in [0, B] (B+1 buckets).  On TPU: the Pallas compare-
+    popcount kernel (keeps the [tile, F, B] comparison in VMEM instead of
+    materializing [N, F, B] in HBM); elsewhere a broadcast compare + popcount
+    — one fused VPU pass, ~5x faster than the vmapped searchsorted lowering.
     """
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import bucketize_pallas
+        return bucketize_pallas(X, cand_vals)
     cmp = cand_vals[None, :, :] < X[:, :, None]        # [N, F, B]
     return jnp.sum(cmp, axis=-1, dtype=jnp.int32)
 
