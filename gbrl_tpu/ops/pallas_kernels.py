@@ -200,3 +200,124 @@ def level_histogram_pallas(Xb: jax.Array, nd: jax.Array, n_buckets: int,
         interpret=interpret,
     )(Xb, nd)
     return out[:, :, :n_buckets]
+
+
+PREDICT_TILE = 512
+PREDICT_CHUNK = 128   # trees per chunk == lane width
+
+
+def _split3(x: jax.Array) -> jax.Array:
+    """f32 [.., O] -> bf16 [.., 3O] hi/mid/lo terms (sum reproduces f32)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "tile",
+                                             "interpret"))
+def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
+                             is_split: jax.Array, w: jax.Array,
+                             max_depth: int, tile: int = PREDICT_TILE,
+                             interpret: bool = False) -> jax.Array:
+    """Numeric-feature ensemble predict: sum_t w[t, leaf(n, t), :] -> [N, O].
+
+    X [N, F] f32; feat [T_cap, 2^D-1] int32; thr [T_cap, 2^D-1] f32;
+    is_split [T_cap, 2^D-1] bool; w [T_cap, L, O] f32 (leaf values already
+    scaled by the per-tree optimizer coefficient; inactive trees must carry
+    w == 0).
+
+    Design (reference predictor.cpp:188-265 walks per (sample, tree) on the
+    host): trees ride the 128-lane dimension in chunks of 128; the heap walk
+    runs as per-level one-hot where-selects on [tile, 128] registers held in
+    VMEM, and the final (leaf -> value) reduction is one
+    [tile, C*L] x [C*L, 3O] bf16 MXU contraction per (tile, chunk) with the
+    leaf weights split into hi/mid/lo bf16 terms (f32-faithful).  No
+    [N, trees, leaves] one-hot ever reaches HBM, unlike the XLA lowering."""
+    N, F = X.shape
+    T_cap = feat.shape[0]
+    L = 1 << max_depth
+    IN = (1 << max_depth) - 1
+    O = w.shape[-1]
+    C = PREDICT_CHUNK
+    t = min(tile, _round_up(N, 8))
+    padn = (-N) % t
+    if padn:
+        X = jnp.pad(X, ((0, padn), (0, 0)))
+    padc = (-T_cap) % C
+    if padc:
+        feat = jnp.pad(feat, ((0, padc), (0, 0)))
+        thr = jnp.pad(thr, ((0, padc), (0, 0)))
+        is_split = jnp.pad(is_split, ((0, padc), (0, 0)))
+        w = jnp.pad(w, ((0, padc), (0, 0), (0, 0)))
+    n_chunks = (T_cap + padc) // C
+    n_tiles = X.shape[0] // t
+
+    # chunk-major, lane-transposed layouts
+    featT = feat.reshape(n_chunks, C, IN).transpose(0, 2, 1
+                                                    ).reshape(n_chunks * IN, C)
+    thrT = thr.reshape(n_chunks, C, IN).transpose(0, 2, 1
+                                                  ).reshape(n_chunks * IN, C)
+    splT = is_split.astype(jnp.float32).reshape(n_chunks, C, IN
+                                                ).transpose(0, 2, 1
+                                                            ).reshape(
+                                                                n_chunks * IN,
+                                                                C)
+    # leaf-weight matrix rows ordered l*C + c to match the one-hot slices
+    w3 = _split3(w.reshape(n_chunks, C, L, O).transpose(0, 2, 1, 3)
+                 .reshape(n_chunks, L * C, O)).reshape(n_chunks * L * C, 3 * O)
+
+    def kernel(x_ref, feat_ref, thr_ref, spl_ref, w_ref, out_ref, m_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        x = x_ref[:]                                       # [t, F]
+        rel = jnp.zeros((t, C), dtype=jnp.int32)
+        for d in range(max_depth):
+            lo = (1 << d) - 1
+            K = 1 << d
+            f = jnp.zeros((t, C), dtype=jnp.int32)
+            th = jnp.zeros((t, C), dtype=jnp.float32)
+            sp = jnp.zeros((t, C), dtype=jnp.float32)
+            for k in range(K):
+                sel = rel == k
+                f = jnp.where(sel, feat_ref[lo + k][None, :], f)
+                th = jnp.where(sel, thr_ref[lo + k][None, :], th)
+                sp = jnp.where(sel, spl_ref[lo + k][None, :], sp)
+            f = jnp.maximum(f, 0)
+            xv = jnp.zeros((t, C), dtype=jnp.float32)
+            for col in range(F):
+                xv = jnp.where(f == col, x[:, col][:, None], xv)
+            go = (xv > th) & (sp > 0.5)
+            rel = 2 * rel + go.astype(jnp.int32)
+        for leaf in range(L):
+            m_ref[:, leaf * C:(leaf + 1) * C] = (
+                rel == leaf).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            m_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [t, 3O]
+        out_ref[:] += acc[:, :O] + acc[:, O:2 * O] + acc[:, 2 * O:]
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((X.shape[0], O), jnp.float32),
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((t, F), lambda i, j: (i, 0), memory_space=mem),
+            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((L * C, 3 * O), lambda i, j: (j, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((t, O), lambda i, j: (i, 0),
+                               memory_space=mem),
+        scratch_shapes=[pltpu.VMEM((t, L * C), jnp.bfloat16)],
+        interpret=interpret,
+    )(X, featT, thrT, splT, w3)
+    return out[:N]

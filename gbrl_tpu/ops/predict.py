@@ -135,6 +135,13 @@ def weighted_leaf_sum(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     N = Xn.shape[0]
     O = cfg.output_dim
     L = cfg.n_leaves
+    if (jax.default_backend() == "tpu" and (Xc is None or Xc.shape[1] == 0)
+            and Xn.shape[1] <= MAX_ONEHOT_FEATURES
+            and 2 * 512 * L * 128 <= 8 * 1024 * 1024):
+        from .pallas_kernels import weighted_leaf_sum_pallas
+        w = ens.leaf_values * coeff[:, None, :]
+        return weighted_leaf_sum_pallas(Xn, ens.feat, ens.thr, ens.is_split,
+                                        w, cfg.max_depth)
     C, chunks = _chunked(ens, coeff, N, L, tree_chunk)
 
     def body(acc, chunk):

@@ -48,3 +48,37 @@ def test_level_histogram_pallas_matches_segment_sum(n, f, o, n_nodes, buckets):
                                num_segments=f * n_nodes * buckets
                                ).reshape(f, n_nodes, buckets, o + 1)
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,f,o,depth,t_cap", [(300, 5, 3, 3, 7),
+                                               (1000, 16, 2, 4, 130)])
+def test_weighted_leaf_sum_pallas_matches_xla(n, f, o, depth, t_cap):
+    import jax.numpy as jnp
+    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ensemble import init_ensemble
+    from gbrl_tpu.ops.pallas_kernels import weighted_leaf_sum_pallas
+    from gbrl_tpu.ops.predict import weighted_leaf_sum
+
+    rng = np.random.default_rng(2)
+    cfg = TreeConfig(input_dim=f, output_dim=o, n_num_features=f,
+                     max_depth=depth)
+    L = 1 << depth
+    IN = L - 1
+    cap = 1 << (t_cap - 1).bit_length()
+    ens = init_ensemble(cfg, capacity=cap)
+    ens = ens.replace(
+        feat=jnp.asarray(rng.integers(-1, f, size=(cap, IN)).astype(np.int32)),
+        thr=jnp.asarray(rng.normal(size=(cap, IN)).astype(np.float32)),
+        is_split=jnp.asarray(rng.random((cap, IN)) > 0.3),
+        leaf_values=jnp.asarray(rng.normal(size=(cap, L, o)).astype(np.float32)),
+        n_trees=jnp.asarray(t_cap, dtype=jnp.int32))
+    X = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    coeff = jnp.asarray(
+        (rng.normal(size=(cap, o)) *
+         (np.arange(cap) < t_cap)[:, None]).astype(np.float32))
+    want = weighted_leaf_sum(cfg, ens, X, coeff)
+    w = ens.leaf_values * coeff[:, None, :]
+    got = weighted_leaf_sum_pallas(X, ens.feat, ens.thr, ens.is_split, w,
+                                   cfg.max_depth, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
