@@ -275,9 +275,10 @@ class GBTLearner(BaseLearner):
             self.cfg, int(iterations), self.ens, jnp.asarray(Xp),
             jnp.asarray(yp), jnp.int32(N), self.specs,
             fw[:n_num], Xcp, fw[n_num:], self._n_codes())
+        self._last_fit_losses = np.asarray(per_iter)
         if self.verbose > 0:
             # per-iteration batch loss (fitter.cpp:232-234)
-            for i, l in enumerate(np.asarray(per_iter)):
+            for i, l in enumerate(self._last_fit_losses):
                 print(f"Boosting iteration: {i + 1} - MultiRMSE Loss: {l}")
         self.total_iterations += int(iterations)
         return float(loss)

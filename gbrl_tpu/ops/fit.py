@@ -39,10 +39,14 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import TreeConfig
 
-NEG_INF = jnp.float32(-jnp.inf)
+# a numpy scalar, NOT jnp: creating a device array at import time would
+# initialize the XLA backend before jax.distributed.initialize can run
+# (parallel/hosts.py)
+NEG_INF = np.float32(-np.inf)
 
 
 def _l2_of_sum(s: jax.Array, n: jax.Array) -> jax.Array:
@@ -82,6 +86,28 @@ def _nan_to_neginf(x: jax.Array) -> jax.Array:
     """NaN scores are never selected by the reference's strict > comparisons;
     -inf reproduces that under argmax."""
     return jnp.where(jnp.isnan(x), NEG_INF, x)
+
+
+def _first_argmax_tol(x: jax.Array, axis: int = -1,
+                      scale: Optional[jax.Array] = None) -> jax.Array:
+    """First-index argmax treating scores within ~1e-6 relative as tied.
+
+    Candidates inducing the *same* sample partition produce bit-identical
+    scores in the reference's scalar accumulation (node.cpp:187-376), so its
+    strict-> scan deterministically keeps the first one.  The histogram
+    formulation accumulates each candidate through a different bin grouping,
+    which perturbs mathematically-equal scores by a few f32 ulps and would
+    let an arbitrary member of the tie win.  Collapsing the tolerance band
+    back to first-index restores the reference's tie order (verified
+    head-to-head in tests/test_fit_golden.py).
+
+    ``scale`` adds to the tolerance base: for greedy trees the compared
+    values are score - parent, while the ulp noise is proportional to the
+    raw score magnitude, so the parent score must be part of the base."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    base = jnp.abs(m) if scale is None else jnp.abs(m) + scale
+    tol = jnp.where(jnp.isfinite(m), base * 2e-6, 0.0)
+    return jnp.argmax(x >= m - tol, axis=axis)
 
 
 def _node_expand(node_rel, build_grads, sample_w, n_nodes):
@@ -237,21 +263,31 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
 
         if oblivious:
             total = _nan_to_neginf(jnp.sum(adj, axis=0))
-            best_idx = jnp.argmax(total)
+            best_idx = _first_argmax_tol(total)
             best = total[best_idx]
             level_alive = alive & (best > NEG_INF)
             alive = level_alive
             best_idx = jnp.broadcast_to(best_idx.astype(jnp.int32), (n_nodes,))
             do_split = jnp.broadcast_to(level_alive, (n_nodes,))
         else:
+            parent_scale = None
             if d > 0:
                 parent = node_scores(node_sum, node_cnt, score_fn)
                 adj = adj - parent[:, None]
+                parent_scale = jnp.abs(parent)[:, None]
             adj = _nan_to_neginf(adj)
-            best_idx = jnp.argmax(adj, axis=1).astype(jnp.int32)
+            best_idx = _first_argmax_tol(adj, axis=1,
+                                         scale=parent_scale).astype(jnp.int32)
             best = jnp.take_along_axis(adj, best_idx[:, None], axis=1)[:, 0]
             # accept iff adjusted score >= 0 and the node holds samples
-            # (fitter.cpp:300-301, 357)
+            # (fitter.cpp:300-301, 357).  Documented deviation: when the
+            # best candidate is a degenerate split (one empty side, so
+            # score == parent exactly in real arithmetic) the reference's
+            # accept decision keys on a +-1ulp artifact of ITS OWN float-
+            # vs-double division asymmetry (cosine_score math_ops.h:574
+            # sqrtf vs cosine_dist math_ops.h:519 sqrt) -- unreproducible
+            # sub-ulp behavior; we accept our f32 sign as-is
+            # (tests/test_fit_golden.py quantifies the effect).
             do_split = (best >= 0) & (node_cnt > 0)
 
         # decode the merged candidate index

@@ -254,16 +254,21 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
     n_chunks = (T_cap + padc) // C
     n_tiles = X.shape[0] // t
 
-    # chunk-major, lane-transposed layouts
-    featT = feat.reshape(n_chunks, C, IN).transpose(0, 2, 1
-                                                    ).reshape(n_chunks * IN, C)
-    thrT = thr.reshape(n_chunks, C, IN).transpose(0, 2, 1
-                                                  ).reshape(n_chunks * IN, C)
-    splT = is_split.astype(jnp.float32).reshape(n_chunks, C, IN
-                                                ).transpose(0, 2, 1
-                                                            ).reshape(
-                                                                n_chunks * IN,
-                                                                C)
+    # chunk-major, lane-transposed layouts; the node dim is padded to a
+    # multiple of 8 so per-chunk blocks satisfy Mosaic's sublane constraint
+    # when n_chunks > 1 (block rows must be 8-divisible or span the array)
+    INp = _round_up(IN, 8)
+
+    def _lanes(a, dtype=None):
+        a = a.reshape(n_chunks, C, IN).transpose(0, 2, 1)
+        a = jnp.pad(a, ((0, 0), (0, INp - IN), (0, 0)))
+        if dtype is not None:
+            a = a.astype(dtype)
+        return a.reshape(n_chunks * INp, C)
+
+    featT = _lanes(feat)
+    thrT = _lanes(thr)
+    splT = _lanes(is_split, jnp.float32)
     # leaf-weight matrix rows ordered l*C + c to match the one-hot slices
     w3 = _split3(w.reshape(n_chunks, C, L, O).transpose(0, 2, 1, 3)
                  .reshape(n_chunks, L * C, O)).reshape(n_chunks * L * C, 3 * O)
@@ -309,9 +314,9 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((t, F), lambda i, j: (i, 0), memory_space=mem),
-            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
-            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
-            pl.BlockSpec((IN, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((INp, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((INp, C), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((INp, C), lambda i, j: (j, 0), memory_space=mem),
             pl.BlockSpec((L * C, 3 * O), lambda i, j: (j, 0),
                          memory_space=mem),
         ],

@@ -1,4 +1,4 @@
-"""Device (XLA) TreeSHAP for fixed-depth heap ensembles.
+r"""Device (XLA) TreeSHAP for fixed-depth heap ensembles.
 
 The reference computes SHAP on the CPU only (gbrl.cpp:1271-1278 copies GPU
 ensembles to host first) with a per-sample recursion (shap.cpp:259-333).

@@ -1,0 +1,128 @@
+"""Head-to-head supervised-fit parity against the UNMODIFIED compiled
+reference: runs the reference's multi-iteration ``GBRL::fit``
+(gbrl.cpp:983-1104 -> fitter.cpp:117-261) with shuffle=false on fixed data
+and asserts this framework's ``GBTLearner.fit`` reproduces the per-iteration
+batch losses, the final full-data loss and the final predictions
+(BASELINE.json supervised configs 1-2).
+
+Config A: single-output, oblivious + L2 + SGD(Const), quantile, 60 iters.
+Config B: 3-output,     greedy + cosine + SGD(Linear [0,2) + Const [2,3)).
+
+Config A matches exactly.  Config B matches every per-iteration loss, the
+final loss, and >=99.5% of final prediction elements; full bit-parity is
+impossible in principle because of a rounding asymmetry *inside the
+reference*: candidate scores divide in float (cosine_score,
+math_ops.h:574 ``numerator / sqrtf(denominator)``) while the parent score
+divides in double (cosine_dist, math_ops.h:519 ``/ sqrt(denominator)``), so
+for a degenerate split of a 1-sample node -- where score == parent exactly
+in real arithmetic -- the reference's ``best_score >= 0`` accept test
+(fitter.cpp:357) keys on a +-1ulp artifact of that asymmetry.  Splitting or
+not splitting such a node changes no fitted prediction, but an empty child
+(leaf value 0) can capture *out-of-batch* rows at predict time; one such
+node (tree 35, node 11) accounts for the single differing row.  Tie-breaks
+among equal-scoring candidates are reproduced exactly (ops/fit.py
+``_first_argmax_tol``).
+
+Skipped when no compiler or the reference tree is absent.
+"""
+import os
+import re
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/gbrl/src/cpp"
+GEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "bench_reference", "make_fit_golden.cpp")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not os.path.isdir(REF),
+    reason="needs g++ and the mounted reference sources")
+
+N, F, ITERS, BS = 512, 8, 60, 200
+
+
+@pytest.fixture(scope="module")
+def golden_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fit_golden")
+    exe = d / "make_fit_golden"
+    srcs = [f"{REF}/{f}" for f in (
+        "gbrl.cpp", "fitter.cpp", "node.cpp", "predictor.cpp",
+        "split_candidate_generator.cpp", "optimizer.cpp", "scheduler.cpp",
+        "loss.cpp", "math_ops.cpp", "types.cpp", "utils.cpp", "shap.cpp",
+        "data_structs.cpp")]
+    subprocess.run(["g++", "-O1", "-fopenmp", "-std=c++14", f"-I{REF}",
+                    "-I/root/reference/gbrl/include", GEN, *srcs,
+                    "-o", str(exe)], check=True, capture_output=True)
+    subprocess.run([str(exe), str(d)], check=True, capture_output=True)
+    return d
+
+
+def _parse_losses(path):
+    pat = re.compile(r"Boosting iteration: (\d+) - MultiRMSE Loss: (\S+)")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                out[int(m.group(1))] = float(m.group(2))
+    return np.array([out[i] for i in sorted(out)], dtype=np.float64)
+
+
+def _fit_ours(golden_dir, tag):
+    from gbrl_tpu.learners.gbt_learner import GBTLearner
+
+    X = np.loadtxt(golden_dir / "fit_X.txt").astype(np.float32).reshape(N, F)
+    y = np.loadtxt(golden_dir / f"fit_y{tag}.txt").astype(np.float32)
+    y = y.reshape(N, -1)
+    if tag == "A":
+        tree_struct = dict(max_depth=4, n_bins=16, min_data_in_leaf=0,
+                           par_th=10, batch_size=BS, grow_policy="oblivious")
+        params = dict(split_score_func="L2", generator_type="Quantile",
+                      control_variates=False)
+        opts = [dict(algo="SGD", scheduler="Const", init_lr=0.1,
+                     start_idx=0, stop_idx=1)]
+        out_dim = 1
+    else:
+        tree_struct = dict(max_depth=4, n_bins=16, min_data_in_leaf=0,
+                           par_th=10, batch_size=BS, grow_policy="greedy")
+        params = dict(split_score_func="cosine", generator_type="Quantile",
+                      control_variates=False)
+        opts = [dict(algo="SGD", scheduler="Linear", init_lr=0.1,
+                     stop_lr=0.01, T=ITERS, start_idx=0, stop_idx=2),
+                dict(algo="SGD", scheduler="Const", init_lr=0.05,
+                     start_idx=2, stop_idx=3)]
+        out_dim = 3
+    learner = GBTLearner(F, out_dim, tree_struct, opts, params)
+    learner.reset()
+    loss = learner.fit(X, y, ITERS, shuffle=False)
+    preds = learner.predict(X, requires_grad=False, tensor=False)
+    return learner, loss, np.asarray(preds).reshape(N, -1)
+
+
+@pytest.mark.parametrize("tag", ["A", "B"])
+def test_fit_matches_reference_binary(golden_dir, tag):
+    ref_losses = _parse_losses(golden_dir / f"fit_losses_{tag}.txt")
+    ref_full = float((golden_dir / f"fit_loss_{tag}.txt").read_text())
+    ref_preds = np.loadtxt(golden_dir / f"fit_preds_{tag}.txt").reshape(N, -1)
+
+    learner, loss, preds = _fit_ours(golden_dir, tag)
+
+    assert ref_losses.shape[0] == ITERS
+    got_losses = learner._last_fit_losses.astype(np.float64)
+    # float32 accumulation order differs between the scalar C++ loop and the
+    # fused XLA reductions; identical split decisions keep the trajectories
+    # locked together to ~1e-4 relative
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(loss, ref_full, rtol=2e-3, atol=2e-4)
+    if tag == "A":
+        np.testing.assert_allclose(preds, ref_preds, rtol=5e-3, atol=5e-4)
+    else:
+        # degenerate 1-sample-node accept decisions are +-1ulp artifacts of
+        # the reference's own sqrtf/sqrt asymmetry (see module docstring);
+        # they may re-route isolated out-of-batch rows through an empty leaf
+        close = np.isclose(preds, ref_preds, rtol=5e-3, atol=5e-4)
+        assert close.mean() >= 0.995, f"only {close.mean():.4f} match"
+        assert np.abs(preds - ref_preds)[~close].max() < 0.1
