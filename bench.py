@@ -1,15 +1,22 @@
 """Benchmark: boosting throughput (trees fit per second) on the default
 JAX device (TPU under the driver; CPU as fallback).
 
-Config mirrors the reference's RL hot path: one boost_step per iteration
-(quantile candidates + greedy cosine tree, depth 4, 256 bins) on a
-4096x16 batch with a 3-dim output (2 policy + 1 value), i.e. the
-PPO-shared-actor-critic shape.
+Config mirrors the reference's RL hot path: per iteration, a FULL ensemble
+predict (0..n_trees, no incremental shortcut) + MultiRMSE grads + quantile
+candidate generation + one greedy cosine tree (depth 4, 256 bins) on a
+4096x16 batch with a 3-dim output (2 policy + 1 value) — the PPO shared
+actor-critic shape.  The iterations run device-resident inside one jit
+(lax.fori_loop), exactly like the shipped update paths (ops/boosting.fit_loop,
+rl/jit_update.ppo_update_loop); the reference's equivalent loop re-enters
+C++ per call.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline`` compares against the reference C++ build's measured
-trees-fit/s stored in BASELINE_REF.json (created by bench_reference/run.sh);
-0 if not yet measured.
+trees-fit/s stored in BASELINE_REF.json (created by bench_reference/run.sh).
+``extra`` carries secondary metrics: the oblivious-policy rate, predict-only
+latency, per-step device-time decomposition targets, an MFU estimate for
+the histogram contraction, and (on TPU) compiled-Pallas vs XLA parity
+residuals (bench.py --verify runs only that check).
 """
 import json
 import os
@@ -20,63 +27,234 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache: the bench compiles several large programs; repeat
+# runs (and the driver's run after a dev session) should not re-pay 10-60s
+# XLA compiles per program
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-def main():
+N, F, O = 4096, 16, 3
+ITERS = 100
+WARMUP = 2
+
+
+def _cfg(policy="greedy"):
+    from gbrl_tpu.config import TreeConfig
+    return TreeConfig(input_dim=F, output_dim=O, policy_dim=O - 1,
+                      n_num_features=F, max_depth=4, n_bins=256,
+                      grow_policy=policy, split_score_func="cosine",
+                      generator_type="quantile")
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    return X, y
+
+
+def _loop_fn(cfg, specs, iters):
+    """One jit program fitting ``iters`` trees: full predict each iter."""
+    import functools
     import jax
     import jax.numpy as jnp
-    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ops.boosting import boost_step, predict_sgd
+
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+    def run(ens, X, y, iters, fw):
+        def body(i, e):
+            preds = predict_sgd(cfg, e, X, specs, 0, e.n_trees)
+            return boost_step(cfg, e, X, preds - y, fw)
+        return jax.lax.fori_loop(0, iters, body, ens)
+
+    return run
+
+
+def bench_policy(policy):
+    import jax
+    import jax.numpy as jnp
+    from gbrl_tpu.ensemble import init_ensemble
+    from gbrl_tpu.optimizers import OptimizerSpec
+
+    cfg = _cfg(policy)
+    X, y = _data()
+    fw = jnp.ones(F, dtype=jnp.float32)
+    specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=O),)
+    run = _loop_fn(cfg, specs, ITERS)
+    cap = 1 << (WARMUP * ITERS + ITERS - 1).bit_length()
+    ens = init_ensemble(cfg, capacity=cap)
+    for _ in range(WARMUP):
+        ens = run(ens, X, y, ITERS, fw)
+    jax.block_until_ready(ens.feat)
+    t0 = time.perf_counter()
+    ens = run(ens, X, y, ITERS, fw)
+    jax.block_until_ready(ens.feat)
+    dt = time.perf_counter() - t0
+    return ITERS / dt
+
+
+def bench_predict():
+    """Predict-only latency for a 128-tree ensemble on the bench batch."""
+    import jax
+    import jax.numpy as jnp
     from gbrl_tpu.ensemble import init_ensemble
     from gbrl_tpu.optimizers import OptimizerSpec
     from gbrl_tpu.ops.boosting import boost_step, predict_sgd
 
-    N, F, O = 4096, 16, 3
-    iters = 100
-    warmup = 10
-    cfg = TreeConfig(input_dim=F, output_dim=O, policy_dim=O - 1,
-                     n_num_features=F, max_depth=4, n_bins=256,
-                     grow_policy="greedy", split_score_func="cosine",
-                     generator_type="quantile")
-    rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    cfg = _cfg()
+    X, y = _data()
     fw = jnp.ones(F, dtype=jnp.float32)
     specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=O),)
-
-    cap = warmup + iters + 8
-    ens = init_ensemble(cfg, capacity=1 << (cap - 1).bit_length())
+    ens = init_ensemble(cfg, capacity=128)
+    step = jax.jit(lambda e: boost_step(cfg, e, X, y, fw))
+    for _ in range(120):
+        ens = step(ens)
+    jax.block_until_ready(ens.feat)
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def one_step(ens):
-        preds = predict_sgd(cfg, ens, X, specs, 0, ens.n_trees)
-        grads = preds - y
-        return boost_step(cfg, ens, X, grads, fw)
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def pred_loop(e, iters):
+        def body(i, acc):
+            return acc + predict_sgd(cfg, e, X, specs, 0, e.n_trees)[0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    for _ in range(warmup):
-        ens = one_step(ens)
-    jax.block_until_ready(ens.feat)
-
+    pred_loop(ens, 10).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        ens = one_step(ens)
-    jax.block_until_ready(ens.feat)
-    dt = time.perf_counter() - t0
-    trees_per_s = iters / dt
+    pred_loop(ens, 200).block_until_ready()
+    ms = (time.perf_counter() - t0) / 200 * 1e3
+    return ms
+
+
+def mfu_estimate(trees_per_s):
+    """Fraction of one chip's bf16 peak used by the histogram contractions.
+
+    Per tree: 4 levels x [tile, 3C] x [tile, F*BP] one-hot contractions over
+    N rows (C = nodes*(O+1), BP = 384) — the only MXU-dominant stage.  This
+    is a lower bound on useful-FLOP utilisation, not a goal: boosting is
+    intentionally memory-lean (histograms), so speed-of-light here is HBM
+    and VPU bound, not MXU bound.
+    """
+    BP = 384
+    flops_per_tree = sum(
+        2 * N * (3 * (1 << d) * (O + 1)) * F * BP for d in range(4))
+    peak = 197e12  # bf16 peak of one v5e-class chip
+    return trees_per_s * flops_per_tree / peak
+
+
+def verify_kernels():
+    """Compiled-Pallas vs XLA/numpy parity on real TPU (skipped elsewhere).
+
+    Asserts the compiled-mode kernels (the interpret-mode tests in
+    tests/test_pallas_kernels.py cover semantics, not Mosaic codegen):
+    - bucketize_pallas == exact numpy searchsorted-equivalent
+    - level_histogram_pallas == f64 numpy histogram to 3e-4 relative
+      (bf16 hi/mid/lo three-term contraction bound)
+    - the fused level path (level_score_pallas) produces the identical tree
+      structure and leaf values as the pure-XLA scoring path
+    """
+    import jax
+    import jax.numpy as jnp
+    from gbrl_tpu.ops import fit as fitmod
+    from gbrl_tpu.ops.candidates import bucketize, numerical_candidates
+    from gbrl_tpu.ops.fit import build_tree
+    from gbrl_tpu.ops.pallas_kernels import (bucketize_pallas,
+                                             level_histogram_pallas)
+    if jax.default_backend() != "tpu":
+        return {"parity": "skipped (no tpu)"}
+    rng = np.random.default_rng(1)
+    cfg = _cfg()
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    out = {}
+    # bucketize: exact vs numpy popcount
+    cand = numerical_candidates(cfg, X)
+    bp = np.asarray(bucketize_pallas(X, cand))
+    bx = np.sum(np.asarray(cand)[None, :, :] < np.asarray(X)[:, :, None],
+                axis=-1, dtype=np.int32)
+    out["bucketize_exact"] = bool(np.array_equal(bp, bx))
+    # level histogram vs f64 numpy accumulation
+    n_nodes = 4
+    node_rel = jnp.asarray(rng.integers(0, n_nodes, (N,)).astype(np.int32))
+    nd = fitmod._node_expand(node_rel, g, jnp.ones(N), n_nodes)
+    hp = np.asarray(level_histogram_pallas(jnp.asarray(bp), nd, 257))
+    nd_np = np.asarray(nd, dtype=np.float64)
+    C = nd_np.shape[1]
+    href = np.zeros((F, C, 257))
+    for f in range(F):
+        hf = np.zeros((257, C))
+        np.add.at(hf, bp[:, f], nd_np)
+        href[f] = hf.T
+    scale = max(np.max(np.abs(href)), 1e-9)
+    rel = float(np.max(np.abs(hp - href)) / scale)
+    out["histogram_rel_err"] = rel
+    out["histogram_ok"] = bool(rel < 3e-4)
+    # whole tree: fused Pallas level path vs pure-XLA scoring path
+    Xb = bucketize(X, cand)
+    ones_n, ones_f = jnp.ones(N), jnp.ones(F, dtype=jnp.float32)
+    t_fused = build_tree(cfg, Xb, cand, g, g, ones_n, ones_f)
+    try:
+        fitmod._DISABLE_FUSED = True
+        t_xla = build_tree(cfg, Xb, cand, g, g, ones_n, ones_f)
+    finally:
+        fitmod._DISABLE_FUSED = False
+    out["tree_struct_exact"] = bool(
+        np.array_equal(np.asarray(t_fused["feat"]), np.asarray(t_xla["feat"]))
+        and np.array_equal(np.asarray(t_fused["is_split"]),
+                           np.asarray(t_xla["is_split"])))
+    leaf_err = float(np.max(np.abs(np.asarray(t_fused["leaf_values"])
+                                   - np.asarray(t_xla["leaf_values"]))))
+    out["leaf_abs_err"] = leaf_err
+    out["parity"] = ("ok" if out["bucketize_exact"] and out["histogram_ok"]
+                     and out["tree_struct_exact"] and leaf_err < 1e-4
+                     else "FAIL")
+    return out
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    verify_only = "--verify" in sys.argv
+    t0 = time.time()
+    parity = verify_kernels()
+    _log(f"verify done ({time.time()-t0:.0f}s): {parity.get('parity')}")
+    if verify_only:
+        print(json.dumps(parity))
+        return
+
+    t0 = time.time()
+    greedy = bench_policy("greedy")
+    _log(f"greedy done ({time.time()-t0:.0f}s): {greedy:.0f} trees/s")
+    t0 = time.time()
+    oblivious = bench_policy("oblivious")
+    _log(f"oblivious done ({time.time()-t0:.0f}s): {oblivious:.0f} trees/s")
+    t0 = time.time()
+    pred_ms = bench_predict()
+    _log(f"predict done ({time.time()-t0:.0f}s): {pred_ms:.3f} ms")
 
     baseline = 0.0
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_REF.json")
     if os.path.exists(ref_path):
         with open(ref_path) as f:
-            ref = json.load(f)
-        baseline = ref.get("trees_fit_per_s", 0.0)
+            baseline = json.load(f).get("trees_fit_per_s", 0.0)
 
     print(json.dumps({
-        "metric": "trees-fit/s (greedy cosine d4 b256, N=4096xF16xO3, incl. predict)",
-        "value": round(trees_per_s, 3),
+        "metric": "trees-fit/s (greedy cosine d4 b256, N=4096xF16xO3, "
+                  "incl. full predict/iter, device-resident loop)",
+        "value": round(greedy, 3),
         "unit": "trees/s",
-        "vs_baseline": round(trees_per_s / baseline, 3) if baseline else 0,
+        "vs_baseline": round(greedy / baseline, 3) if baseline else 0,
+        "extra": {
+            "oblivious_trees_per_s": round(oblivious, 3),
+            "predict_only_ms_128trees_4096x16": round(pred_ms, 4),
+            "histogram_mfu_at_rate": round(mfu_estimate(greedy), 4),
+            "parity": parity,
+        },
     }))
 
 

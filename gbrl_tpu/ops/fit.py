@@ -48,6 +48,11 @@ from ..config import TreeConfig
 # (parallel/hosts.py)
 NEG_INF = np.float32(-np.inf)
 
+# test hooks: exercise the fused Pallas level path in interpret mode off-TPU
+# / force the pure-XLA path on TPU (bench.py --verify cross-checks the two)
+_FORCE_FUSED_INTERPRET = False
+_DISABLE_FUSED = False
+
 
 def _l2_of_sum(s: jax.Array, n: jax.Array) -> jax.Array:
     """||sum||^2 / n with empty-side guard (0 when n == 0).
@@ -154,6 +159,47 @@ def _level_histogram(Xb, node_rel, build_grads, sample_w, n_nodes, n_buckets):
     return hist.reshape(F, n_nodes, n_buckets, O + 1)
 
 
+def _route_level(Xb, Xc, node_rel, n_nodes, do_split, is_num_sel, f_num,
+                 b_num, f_cat, c_cat):
+    """Descend samples one level: numeric bucket > b (== x > thr), or code
+    equality.  All per-sample lookups are dense one-hot selects / small
+    matmuls — TPU gathers over per-sample indices lower to scalar loops."""
+    has_num = Xb is not None and Xb.shape[1] > 0
+    has_cat = Xc is not None and Xc.shape[1] > 0
+    N = Xb.shape[0] if has_num else Xc.shape[0]
+    node_oh = (node_rel[:, None]
+               == jnp.arange(n_nodes, dtype=jnp.int32)[None, :]
+               ).astype(jnp.float32)                     # [N, n_nodes]
+    if has_num:
+        F = Xb.shape[1]
+        foh = (f_num[None, :] == jnp.arange(F, dtype=jnp.int32)[:, None]
+               ).astype(jnp.float32)                     # [F, n_nodes]
+        xsel = jax.lax.dot_general(                      # [N, n_nodes]
+            Xb.astype(jnp.float32), foh,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        go_num_k = xsel > b_num[None, :].astype(jnp.float32)
+    else:
+        go_num_k = jnp.zeros((N, n_nodes), dtype=bool)
+    if has_cat:
+        Fc = Xc.shape[1]
+        coh = (f_cat[None, :] == jnp.arange(Fc, dtype=jnp.int32)[:, None]
+               ).astype(jnp.float32)
+        xcsel = jax.lax.dot_general(
+            Xc.astype(jnp.float32), coh,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        go_cat_k = xcsel == c_cat[None, :].astype(jnp.float32)
+    else:
+        go_cat_k = jnp.zeros((N, n_nodes), dtype=bool)
+    go_k = jnp.where(is_num_sel[None, :], go_num_k, go_cat_k)
+    go_k = go_k & do_split[None, :]
+    go_right = jnp.sum(node_oh * go_k.astype(jnp.float32), axis=1) > 0.5
+    return node_rel * 2 + go_right.astype(jnp.int32)
+
+
 def _node_stats(node_rel, build_grads, sample_w, n_nodes):
     O = build_grads.shape[-1]
     data = jnp.concatenate(
@@ -211,8 +257,71 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
     alive = jnp.array(True)     # oblivious growth flag (fitter.cpp:458-459)
     depth_reached = jnp.zeros((), dtype=jnp.int32)
 
+    # fully-fused TPU level path: histogram + prefix sums + scores + masks +
+    # argmax run in two Pallas kernels per level, replacing ~200 small XLA
+    # ops (the dominant per-tree cost; see pallas_kernels.level_score_pallas)
+    from .pallas_kernels import (_round_up, hist_vmem_bytes,
+                                 level_histogram_pallas, level_score_pallas)
+    BP = _round_up(B + 1, 128)
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused_level = (
+        has_num and not has_cat and (on_tpu or _FORCE_FUSED_INTERPRET)
+        and not _DISABLE_FUSED
+        and hist_vmem_bytes(N, F, (1 << (D - 1)) * (O + 1), B + 1)
+        <= 12 * 1024 * 1024
+        and (2 * (1 << (D - 1)) * (O + 1) + _round_up(1 << (D - 1), 8))
+        * F * BP * 4 + BP * BP * 4 <= 12 * 1024 * 1024)
+    _interp = not on_tpu
+
     for d in range(D):
         n_nodes = 1 << d
+        if use_fused_level:
+            NP = _round_up(n_nodes, 8)
+            nd = _node_expand(node_rel, build_grads, sample_w, n_nodes)
+            hist_raw = level_histogram_pallas(Xb, nd, B + 1, raw=True,
+                                              interpret=_interp)
+            blk_bp = jnp.pad(
+                blocked_num.astype(jnp.float32),
+                ((0, NP - n_nodes), (0, 0), (0, BP - B)),
+                constant_values=1.0).reshape(NP, F * BP)
+            packed = level_score_pallas(
+                hist_raw, blk_bp, jnp.repeat(feat_w, BP)[None, :],
+                n_bins=B, n_buckets=B + 1, n_nodes=n_nodes, out_dim=O,
+                score=score_fn, min_data=cfg.min_data_in_leaf,
+                oblivious=oblivious, is_root=(d == 0), interpret=_interp)
+            best_idx = packed[:n_nodes, 0].astype(jnp.int32)
+            best = packed[:n_nodes, 1]
+            node_cnt = packed[:n_nodes, 2]
+            node_sum = packed[:n_nodes, 8:8 + O]
+            if oblivious:
+                level_alive = alive & (best[0] > NEG_INF)
+                alive = level_alive
+                do_split = jnp.broadcast_to(level_alive, (n_nodes,))
+            else:
+                do_split = (best >= 0) & (node_cnt > 0)
+            is_num_sel = jnp.ones_like(best_idx, dtype=bool)
+            nidx = best_idx
+            f_num = nidx // max(B, 1)
+            b_num = nidx % max(B, 1)
+            f_cat = jnp.zeros_like(best_idx)
+            c_cat = jnp.zeros_like(best_idx)
+            v_sel = cand_vals[f_num, b_num]
+            f_sel = f_num
+            lv_feat.append(jnp.where(do_split, f_sel, -1))
+            lv_thr.append(jnp.where(do_split, v_sel, 0.0))
+            lv_code.append(jnp.full_like(best_idx, -1))
+            lv_isnum.append(is_num_sel)
+            lv_split.append(do_split)
+            lv_cnt.append(node_cnt)
+            depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
+            node_rel = _route_level(Xb, None, node_rel, n_nodes, do_split,
+                                    is_num_sel, f_num, b_num, f_cat, c_cat)
+            rep = jnp.repeat(jnp.arange(n_nodes), 2)
+            chosen = (do_split[:, None, None]
+                      & (f_num[:, None, None] == jnp.arange(F)[None, :, None])
+                      & (v_sel[:, None, None] == cand_vals[None, :, :]))
+            blocked_num = (blocked_num | chosen)[rep]
+            continue
         parts = []
         node_sum = node_cnt = None
         if has_num:
@@ -316,38 +425,8 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
         lv_cnt.append(node_cnt)
         depth_reached = jnp.where(jnp.any(do_split), d + 1, depth_reached)
 
-        # route samples: numeric bucket > b (== x > thr), or code equality.
-        # All per-sample lookups are dense one-hot selects / small matmuls —
-        # TPU gathers over per-sample indices lower to scalar loops.
-        node_oh = (node_rel[:, None]
-                   == jnp.arange(n_nodes, dtype=jnp.int32)[None, :]
-                   ).astype(jnp.float32)                     # [N, n_nodes]
-        if has_num:
-            foh = (f_num[None, :] == jnp.arange(F, dtype=jnp.int32)[:, None]
-                   ).astype(jnp.float32)                     # [F, n_nodes]
-            xsel = jax.lax.dot_general(                      # [N, n_nodes]
-                Xb.astype(jnp.float32), foh,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            go_num_k = xsel > b_num[None, :].astype(jnp.float32)
-        else:
-            go_num_k = jnp.zeros((N, n_nodes), dtype=bool)
-        if has_cat:
-            coh = (f_cat[None, :] == jnp.arange(Fc, dtype=jnp.int32)[:, None]
-                   ).astype(jnp.float32)
-            xcsel = jax.lax.dot_general(
-                Xc.astype(jnp.float32), coh,
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            go_cat_k = xcsel == c_cat[None, :].astype(jnp.float32)
-        else:
-            go_cat_k = jnp.zeros((N, n_nodes), dtype=bool)
-        go_k = jnp.where(is_num_sel[None, :], go_num_k, go_cat_k)
-        go_k = go_k & do_split[None, :]
-        go_right = jnp.sum(node_oh * go_k.astype(jnp.float32), axis=1) > 0.5
-        node_rel = node_rel * 2 + go_right.astype(jnp.int32)
+        node_rel = _route_level(Xb, Xc, node_rel, n_nodes, do_split,
+                                is_num_sel, f_num, b_num, f_cat, c_cat)
 
         # children inherit the parent's blocked mask plus the chosen split
         rep = jnp.repeat(jnp.arange(n_nodes), 2)

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -92,11 +93,13 @@ def hist_vmem_bytes(N: int, F: int, C: int, n_buckets: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_buckets", "tile", "interpret"))
+                   static_argnames=("n_buckets", "tile", "raw", "interpret"))
 def level_histogram_pallas(Xb: jax.Array, nd: jax.Array, n_buckets: int,
-                           tile: int = HIST_TILE,
+                           tile: int = HIST_TILE, raw: bool = False,
                            interpret: bool = False) -> jax.Array:
-    """[N, F] int32 buckets x [N, C] rows -> [F, C, n_buckets] f32 sums.
+    """[N, F] int32 buckets x [N, C] rows -> [F, C, n_buckets] f32 sums
+    (or the raw [C, F*round_up(n_buckets,128)] layout when ``raw=True``,
+    which feeds level_score_pallas without any reshuffle).
 
     hist[f, c, b] = sum_n [Xb[n, f] == b] * nd[n, c].  The caller packs
     node-masked gradient columns into ``nd`` (C = n_nodes * (outputs + 1));
@@ -168,6 +171,8 @@ def level_histogram_pallas(Xb: jax.Array, nd: jax.Array, n_buckets: int,
             scratch_shapes=[pltpu.VMEM((t, FBP), jnp.bfloat16)],
             interpret=interpret,
         )(Xb, nd)
+        if raw:
+            return out
         return out.reshape(C, F, BP)[:, :, :n_buckets].transpose(1, 0, 2)
 
     def kernel(xb_ref, nd_ref, out_ref):
@@ -199,7 +204,150 @@ def level_histogram_pallas(Xb: jax.Array, nd: jax.Array, n_buckets: int,
                                memory_space=mem),
         interpret=interpret,
     )(Xb, nd)
+    if raw:
+        return out.transpose(1, 0, 2).reshape(C, F * BP)
     return out[:, :, :n_buckets]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_bins", "n_buckets", "n_nodes", "out_dim", "score", "min_data",
+    "oblivious", "is_root", "interpret"))
+def level_score_pallas(hist: jax.Array, blocked: jax.Array,
+                       feat_w: jax.Array, *, n_bins: int, n_buckets: int,
+                       n_nodes: int, out_dim: int, score: str,
+                       min_data: int, oblivious: bool, is_root: bool,
+                       interpret: bool = False) -> jax.Array:
+    """Fused per-level split selection: histogram -> bucket prefix sums ->
+    L2/cosine scores -> blocked/min-data masks -> feature weights -> parent
+    subtraction -> tolerance first-argmax, all in VMEM.
+
+    Replaces the ~200-small-op XLA pipeline per level (the dominant cost of
+    build_tree on TPU: measured ~60us/level of fusion-boundary overhead vs
+    ~25us/level for the histogram itself).  Semantics mirror ops/fit.py's
+    XLA path exactly, including the tie tolerance of ``_first_argmax_tol``.
+
+    Args:
+      hist     [C, F*BP] f32 raw layout from level_histogram_pallas(raw=True)
+               where C = n_nodes*(out_dim+1) and BP = round_up(n_buckets, 128)
+      blocked  [NP, F*BP] f32 0/1 no-reuse mask (1 = blocked); lanes with
+               bucket >= n_bins must be 1
+      feat_w   [1, F*BP] per-lane feature weight (jnp.repeat(fw, BP))
+
+    Returns [NP, 128] f32 packed per node n (NP = round_up(n_nodes, 8)):
+      col 0 best merged candidate index (f*n_bins + b), col 1 best adjusted
+      score, col 2 node count, col 3 parent score, cols 8:8+O node grad sums.
+    For oblivious levels cols 0-1 carry the level-summed argmax (same value
+    in every row).
+    """
+    C, FBP = hist.shape
+    BP = _round_up(n_buckets, 128)
+    F = FBP // BP
+    NP = _round_up(n_nodes, 8)
+    O = out_dim
+    nb1 = n_buckets - 1
+    NEG = np.float32(-np.inf)
+
+    def kernel(h_ref, blk_ref, fw_ref, out_ref):
+        h = h_ref[:]
+        # bucket prefix sums as upper-triangular MXU contractions per block
+        r = jax.lax.broadcasted_iota(jnp.int32, (BP, BP), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (BP, BP), 1)
+        U = (r <= c).astype(jnp.float32)
+        cs = jnp.concatenate(
+            [jax.lax.dot_general(h[:, f * BP:(f + 1) * BP], U,
+                                 (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+             for f in range(F)], axis=1)                    # [C, FBP]
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, FBP), 1)
+        fw = fw_ref[:]
+        md = jnp.float32(min_data)
+
+        def node_adj(n):
+            """(adj [1, FBP], parent, cnt, sums) for level node n."""
+            sl = n * (O + 1)
+            cl = cs[sl + O:sl + O + 1, :]
+            ct = cs[sl + O, nb1]
+            cr = ct - cl
+            l2l = jnp.zeros_like(cl)
+            l2r = jnp.zeros_like(cl)
+            tots = []
+            for o in range(O):
+                lo = cs[sl + o:sl + o + 1, :]
+                t = cs[sl + o, nb1]
+                tots.append(t)
+                l2l = l2l + lo * lo
+                ro = t - lo
+                l2r = l2r + ro * ro
+            sL = jnp.where(cl > 0, l2l / jnp.where(cl > 0, cl, 1.0), 0.0)
+            sR = jnp.where(cr > 0, l2r / jnp.where(cr > 0, cr, 1.0), 0.0)
+            s = sL + sR
+            if score == "cosine":
+                s = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+            if min_data > 0:
+                s = jnp.where((cl < md) | (cr < md), NEG, s)
+            s = s * fw
+            s = jnp.where(blk_ref[n:n + 1, :] > 0.5, NEG, s)
+            # parent score (node_scores); 0 at the root
+            tot_sq = sum(t * t for t in tots)
+            p = jnp.where(ct > 0, tot_sq / jnp.where(ct > 0, ct, 1.0), 0.0)
+            if score == "cosine":
+                p = jnp.where(p > 0, jnp.sqrt(jnp.where(p > 0, p, 1.0)), 0.0)
+            parent = jnp.float32(0.0) if is_root else p
+            return s, parent, ct, tots
+
+        def first_argmax(adj, base_extra):
+            m = jnp.max(adj)
+            tol = jnp.where(jnp.isfinite(m),
+                            (jnp.abs(m) + base_extra) * 2e-6, 0.0)
+            sel = adj >= m - tol
+            q = jnp.min(jnp.where(sel, lane_q, jnp.int32(FBP)))
+            fs = q // BP
+            midx = fs * n_bins + (q - fs * BP)
+            val = jnp.max(jnp.where(lane_q == q, adj, NEG))
+            return midx, val
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NP, 128), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (NP, 128), 1)
+        acc = jnp.zeros((NP, 128), dtype=jnp.float32)
+
+        def put(n, col, v):
+            return jnp.where((rows == n) & (cols == col),
+                             v.astype(jnp.float32), 0.0)
+
+        if oblivious:
+            total = jnp.zeros((1, FBP), dtype=jnp.float32)
+            stats = []
+            for n in range(n_nodes):
+                s, _, ct, tots = node_adj(n)
+                total = total + s
+                stats.append((ct, tots))
+            total = jnp.where(jnp.isnan(total), NEG, total)
+            midx, val = first_argmax(total, jnp.float32(0.0))
+            for n, (ct, tots) in enumerate(stats):
+                acc = acc + put(n, 0, midx) + put(n, 1, val) + put(n, 2, ct)
+                for o, t in enumerate(tots):
+                    acc = acc + put(n, 8 + o, t)
+        else:
+            for n in range(n_nodes):
+                s, parent, ct, tots = node_adj(n)
+                adj = s - parent
+                adj = jnp.where(jnp.isnan(adj), NEG, adj)
+                midx, val = first_argmax(adj, jnp.abs(parent))
+                acc = (acc + put(n, 0, midx) + put(n, 1, val)
+                       + put(n, 2, ct) + put(n, 3, parent))
+                for o, t in enumerate(tots):
+                    acc = acc + put(n, 8 + o, t)
+        out_ref[:] = acc
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((NP, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=mem)] * 3,
+        out_specs=pl.BlockSpec(memory_space=mem),
+        interpret=interpret,
+    )(hist, blocked, feat_w)
 
 
 PREDICT_TILE = 512
@@ -220,13 +368,17 @@ def _split3(x: jax.Array) -> jax.Array:
 def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
                              is_split: jax.Array, w: jax.Array,
                              max_depth: int, tile: int = PREDICT_TILE,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             n_trees: jax.Array = None) -> jax.Array:
     """Numeric-feature ensemble predict: sum_t w[t, leaf(n, t), :] -> [N, O].
 
     X [N, F] f32; feat [T_cap, 2^D-1] int32; thr [T_cap, 2^D-1] f32;
     is_split [T_cap, 2^D-1] bool; w [T_cap, L, O] f32 (leaf values already
     scaled by the per-tree optimizer coefficient; inactive trees must carry
-    w == 0).
+    w == 0).  ``n_trees`` (traced scalar, optional) skips whole 128-tree
+    chunks beyond the live ensemble, making predict O(n_trees) instead of
+    O(capacity) — the ensemble grows geometrically, so without this up to
+    half the walk would be spent on zero-weight trees.
 
     Design (reference predictor.cpp:188-265 walks per (sample, tree) on the
     host): trees ride the 128-lane dimension in chunks of 128; the heap walk
@@ -273,39 +425,47 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
     w3 = _split3(w.reshape(n_chunks, C, L, O).transpose(0, 2, 1, 3)
                  .reshape(n_chunks, L * C, O)).reshape(n_chunks * L * C, 3 * O)
 
-    def kernel(x_ref, feat_ref, thr_ref, spl_ref, w_ref, out_ref, m_ref):
+    if n_trees is None:
+        n_trees = jnp.int32(T_cap)
+    nt = jnp.asarray(n_trees, dtype=jnp.int32).reshape(1, 1)
+
+    def kernel(nt_ref, x_ref, feat_ref, thr_ref, spl_ref, w_ref, out_ref,
+               m_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        x = x_ref[:]                                       # [t, F]
-        rel = jnp.zeros((t, C), dtype=jnp.int32)
-        for d in range(max_depth):
-            lo = (1 << d) - 1
-            K = 1 << d
-            f = jnp.zeros((t, C), dtype=jnp.int32)
-            th = jnp.zeros((t, C), dtype=jnp.float32)
-            sp = jnp.zeros((t, C), dtype=jnp.float32)
-            for k in range(K):
-                sel = rel == k
-                f = jnp.where(sel, feat_ref[lo + k][None, :], f)
-                th = jnp.where(sel, thr_ref[lo + k][None, :], th)
-                sp = jnp.where(sel, spl_ref[lo + k][None, :], sp)
-            f = jnp.maximum(f, 0)
-            xv = jnp.zeros((t, C), dtype=jnp.float32)
-            for col in range(F):
-                xv = jnp.where(f == col, x[:, col][:, None], xv)
-            go = (xv > th) & (sp > 0.5)
-            rel = 2 * rel + go.astype(jnp.int32)
-        for leaf in range(L):
-            m_ref[:, leaf * C:(leaf + 1) * C] = (
-                rel == leaf).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(
-            m_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [t, 3O]
-        out_ref[:] += acc[:, :O] + acc[:, O:2 * O] + acc[:, 2 * O:]
+        # whole chunks of never-written trees contribute nothing: skip them
+        @pl.when(j * C < nt_ref[0, 0])
+        def _():
+            x = x_ref[:]                                   # [t, F]
+            rel = jnp.zeros((t, C), dtype=jnp.int32)
+            for d in range(max_depth):
+                lo = (1 << d) - 1
+                K = 1 << d
+                f = jnp.zeros((t, C), dtype=jnp.int32)
+                th = jnp.zeros((t, C), dtype=jnp.float32)
+                sp = jnp.zeros((t, C), dtype=jnp.float32)
+                for k in range(K):
+                    sel = rel == k
+                    f = jnp.where(sel, feat_ref[lo + k][None, :], f)
+                    th = jnp.where(sel, thr_ref[lo + k][None, :], th)
+                    sp = jnp.where(sel, spl_ref[lo + k][None, :], sp)
+                f = jnp.maximum(f, 0)
+                xv = jnp.zeros((t, C), dtype=jnp.float32)
+                for col in range(F):
+                    xv = jnp.where(f == col, x[:, col][:, None], xv)
+                go = (xv > th) & (sp > 0.5)
+                rel = 2 * rel + go.astype(jnp.int32)
+            for leaf in range(L):
+                m_ref[:, leaf * C:(leaf + 1) * C] = (
+                    rel == leaf).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                m_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [t, 3O]
+            out_ref[:] += acc[:, :O] + acc[:, O:2 * O] + acc[:, 2 * O:]
 
     mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
@@ -313,6 +473,9 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
         out_shape=jax.ShapeDtypeStruct((X.shape[0], O), jnp.float32),
         grid=(n_tiles, n_chunks),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM if not interpret
+                         else pl.ANY),
             pl.BlockSpec((t, F), lambda i, j: (i, 0), memory_space=mem),
             pl.BlockSpec((INp, C), lambda i, j: (j, 0), memory_space=mem),
             pl.BlockSpec((INp, C), lambda i, j: (j, 0), memory_space=mem),
@@ -324,5 +487,5 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
                                memory_space=mem),
         scratch_shapes=[pltpu.VMEM((t, L * C), jnp.bfloat16)],
         interpret=interpret,
-    )(X, featT, thrT, splT, w3)
+    )(nt, X, featT, thrT, splT, w3)
     return out[:N]

@@ -141,7 +141,8 @@ def weighted_leaf_sum(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
         from .pallas_kernels import weighted_leaf_sum_pallas
         w = ens.leaf_values * coeff[:, None, :]
         return weighted_leaf_sum_pallas(Xn, ens.feat, ens.thr, ens.is_split,
-                                        w, cfg.max_depth)
+                                        w, cfg.max_depth,
+                                        n_trees=ens.n_trees)
     C, chunks = _chunked(ens, coeff, N, L, tree_chunk)
 
     def body(acc, chunk):

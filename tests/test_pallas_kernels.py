@@ -82,3 +82,80 @@ def test_weighted_leaf_sum_pallas_matches_xla(n, f, o, depth, t_cap):
                                    cfg.max_depth, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("policy,score", [("greedy", "cosine"),
+                                          ("greedy", "l2"),
+                                          ("oblivious", "cosine"),
+                                          ("oblivious", "l2")])
+def test_fused_level_path_matches_xla(policy, score):
+    """The fully-fused Pallas level path (level_histogram_pallas raw +
+    level_score_pallas, interpret mode) must produce the identical tree as
+    the pure-XLA scoring pipeline, including tie-breaks and leaf values."""
+    import jax.numpy as jnp
+    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ops import fit as fitmod
+    from gbrl_tpu.ops.candidates import bucketize, numerical_candidates
+    from gbrl_tpu.ops.fit import build_tree
+
+    rng = np.random.default_rng(11)
+    N, F, O, B, D = 700, 5, 3, 16, 4
+    cfg = TreeConfig(input_dim=F, output_dim=O, n_num_features=F,
+                     max_depth=D, n_bins=B, grow_policy=policy,
+                     split_score_func=score, generator_type="quantile")
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    w, fw = jnp.ones(N), jnp.ones(F)
+    cand = numerical_candidates(cfg, X)
+    Xb = bucketize(X, cand)
+    t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
+    fitmod._FORCE_FUSED_INTERPRET = True
+    try:
+        t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
+                                  np.asarray(t_fused["feat"]))
+    np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
+                                  np.asarray(t_fused["is_split"]))
+    np.testing.assert_allclose(np.asarray(t_xla["thr"]),
+                               np.asarray(t_fused["thr"]))
+    np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
+                               np.asarray(t_fused["leaf_values"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_xla["counts"]),
+                               np.asarray(t_fused["counts"]))
+
+
+def test_fused_level_path_min_data_and_weights():
+    """min_data_in_leaf and non-uniform feature weights flow through the
+    fused kernel identically to the XLA path."""
+    import jax.numpy as jnp
+    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ops import fit as fitmod
+    from gbrl_tpu.ops.candidates import bucketize, numerical_candidates
+    from gbrl_tpu.ops.fit import build_tree
+
+    rng = np.random.default_rng(12)
+    N, F, O, B, D = 400, 4, 2, 8, 3
+    cfg = TreeConfig(input_dim=F, output_dim=O, n_num_features=F,
+                     max_depth=D, n_bins=B, grow_policy="greedy",
+                     split_score_func="cosine", generator_type="uniform",
+                     min_data_in_leaf=20)
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    w = jnp.asarray((rng.random(N) > 0.2).astype(np.float32))
+    fw = jnp.asarray(np.array([1.0, 0.1, 2.0, 0.0], dtype=np.float32))
+    cand = numerical_candidates(cfg, X)
+    Xb = bucketize(X, cand)
+    t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
+    fitmod._FORCE_FUSED_INTERPRET = True
+    try:
+        t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
+                                  np.asarray(t_fused["feat"]))
+    np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
+                                  np.asarray(t_fused["is_split"]))
+    np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
+                               np.asarray(t_fused["leaf_values"]), atol=1e-5)
