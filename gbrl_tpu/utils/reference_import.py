@@ -207,6 +207,12 @@ def load_reference_model(path: str, device: str = "tpu"):
     is_num = np.ones((cap, L - 1), dtype=bool)
     leaf_values = np.zeros((cap, L, out), dtype=np.float32)
     depths_out = np.zeros((cap,), dtype=np.int32)
+    # per-node sample weights reconstructed from the checkpoint's per-leaf
+    # edge weights (node.cpp:131,141: edge_weight = child_count/parent_count);
+    # absolute counts are not stored, so these hold PATH PROBABILITIES
+    # (root = 1).  SHAP only consumes child/parent ratios, which are
+    # identical (ops/shap_device.py).
+    counts = np.zeros((cap, 2 * L - 1), dtype=np.float32)
 
     ti = m["tree_indices"]
     vals = m["values"]
@@ -246,6 +252,18 @@ def load_reference_model(path: str, device: str = "tpu"):
                 # (predictor.cpp:254-256) == heap walk order
                 leaf_values[t, leftmost_leaf((1 << d) - 1 + rel, d)] = \
                     vals[start + rel]
+            ew = m["edge_weights"]
+            counts[t, 0] = 1.0
+            for rel in range(1 << d):
+                p, w = 0, 1.0
+                for k in range(d):
+                    bit = (rel >> (d - 1 - k)) & 1
+                    p = 2 * p + 1 + bit
+                    w *= float(ew[(start + rel) * D + k])
+                    counts[t, p] = w
+                for _ in range(d, D):          # pass-through spine
+                    p = 2 * p + 1
+                    counts[t, p] = w
             depths_out[t] = d
         else:
             for leaf in range(start, stop):
@@ -265,12 +283,23 @@ def load_reference_model(path: str, device: str = "tpu"):
                     go_right = bool(ineq[cbase + k])
                     p = 2 * p + 1 + int(go_right)
                 leaf_values[t, leftmost_leaf(p, d)] = vals[leaf]
+                counts[t, 0] = 1.0
+                q, w = 0, 1.0
+                ew = m["edge_weights"]
+                for k in range(d):
+                    q = 2 * q + 1 + int(ineq[cbase + k])
+                    w *= float(ew[leaf * D + k])
+                    counts[t, q] = w
+                for _ in range(d, D):          # pass-through spine
+                    q = 2 * q + 1
+                    counts[t, q] = w
                 depths_out[t] = max(depths_out[t], d)
 
     ens = ens.replace(
         feat=jnp.asarray(feat), thr=jnp.asarray(thr),
         cat_code=jnp.asarray(code), is_split=jnp.asarray(is_split),
         is_numeric=jnp.asarray(is_num), leaf_values=jnp.asarray(leaf_values),
+        counts=jnp.asarray(counts),
         depths=jnp.asarray(depths_out),
         bias=jnp.asarray(m["bias"] if m["bias"] is not None
                          else np.zeros(out, np.float32)),
