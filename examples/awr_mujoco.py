@@ -47,6 +47,29 @@ def main():
           f"actor_trees={algo.actor.get_num_trees()} "
           f"env_steps_per_s={args.steps / dt:.0f}")
 
+    import json
+    er = [float(r) for r in algo.episode_rewards]
+    k = max(1, len(er) // 20)
+    curve = [{"episode": i, "mean_k": float(np.mean(er[max(0, i - k):i]))}
+             for i in range(k, len(er) + 1, k)]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"results_awr_{args.env.split('-')[0].lower()}.json")
+    with open(out, "w") as f:
+        json.dump({
+            "config": (f"AWR oblivious d4 b256 actor_lr0.05 critic_lr0.5 "
+                       f"beta1.0 n_steps2048 updates10/10"),
+            "env": args.env, "steps": args.steps, "seed": args.seed,
+            "n_envs": args.n_envs, "device": args.device,
+            "final_mean_reward_100": float(algo.mean_reward()),
+            "first_episodes_mean": float(np.mean(er[:k])) if er else None,
+            "actor_trees": int(algo.actor.get_num_trees()),
+            "critic_trees": int(algo.critic.get_num_trees()),
+            "env_steps_per_s": args.steps / dt,
+            "wall_clock_s": dt,
+            "reward_curve": curve,
+        }, f, indent=1)
+    print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     main()

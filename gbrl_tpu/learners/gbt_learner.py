@@ -485,12 +485,15 @@ class GBTLearner(BaseLearner):
         return learner
 
     def export(self, filename: str, modelname: Optional[str] = None,
-               export_format: str = "float") -> None:
-        """Self-contained C-header inference export (types.cpp:409+)."""
+               export_format: str = "float",
+               export_type: str = "full") -> None:
+        """Self-contained C-header inference export (types.cpp:409-676);
+        export_type 'compact' emits per-level tables for oblivious trees
+        (types.h:170-174)."""
         from ..utils.c_export import export_ensemble_header
         export_ensemble_header(self.cfg, self.ens, filename,
                                modelname or "gbrl_model", self.specs,
-                               export_format)
+                               export_format, export_type, self.vocab)
 
     def save_reference_format(self, filename: str) -> None:
         """Write a reference-compatible binary .gbrl_model (round-trip
