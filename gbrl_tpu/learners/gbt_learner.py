@@ -203,9 +203,21 @@ class GBTLearner(BaseLearner):
         if not with_key:
             return Xn, Xc
         import hashlib
-        h = hashlib.blake2b(num.tobytes(), digest_size=16)
-        if codes is not None:
-            h.update(codes.tobytes())
+        h = hashlib.blake2b(digest_size=16)
+        for arr in ((num,) if codes is None else (num, codes)):
+            a = np.ascontiguousarray(arr)
+            h.update(str(a.shape).encode())
+            if a.nbytes <= (1 << 20):
+                h.update(a.tobytes())
+            else:
+                # large batches: strided ~1MB subsample + a global float64
+                # sum keeps keying O(1MB) instead of O(N*F) while still
+                # catching elementwise mutations
+                flat = a.reshape(-1)
+                step = max(1, (flat.size * flat.itemsize) >> 20)
+                h.update(flat[::step].tobytes())
+                h.update(np.asarray(
+                    flat.sum(dtype=np.float64)).tobytes())
         return Xn, Xc, h.digest()
 
     # ------------------------------------------------------------------ train

@@ -228,6 +228,7 @@ class PPO:
         buffers = [RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
                                  self.gamma, self.gae_lambda)
                    for _ in range(G)]
+        self._buffers = buffers   # final-rollout diagnostics (tests)
         steps = 0
         it = 0
         while steps < total_timesteps:
