@@ -436,19 +436,40 @@ class GBTLearner(BaseLearner):
         from ..utils.introspection import plot_tree
         plot_tree(self.cfg, self.ens, tree_idx, filename)
 
-    def tree_shap(self, tree_idx: int, features) -> np.ndarray:
+    def tree_shap(self, tree_idx: int, features,
+                  ref_compat: bool = False) -> np.ndarray:
         """SHAP values of one tree [N, input_dim, output_dim] — computed on
-        device (the reference is CPU-only here, gbrl.cpp:1271-1278)."""
-        from ..ops.shap_device import ensemble_shap_device
+        device (the reference is CPU-only here, gbrl.cpp:1271-1278).
+
+        ``ref_compat=True`` instead reproduces the reference C++
+        implementation bit-for-bit on host, including its nearest-ancestor
+        convention for repeated path features, which deviates from exact
+        Shapley (see ops/shap_refcompat.py)."""
         Xn, Xc = self._prepare(features, grow_vocab=False)
+        if ref_compat:
+            from ..ops.shap_refcompat import ensemble_shap_ref_compat
+            return ensemble_shap_ref_compat(
+                self.cfg, self.ens, np.asarray(Xn),
+                None if Xc is None else np.asarray(Xc), tree_idx=tree_idx)
+        from ..ops.shap_device import ensemble_shap_device
         return np.asarray(ensemble_shap_device(
             self.cfg, self.ens, Xn, Xc, self.input_dim,
             jnp.int32(tree_idx)))
 
-    def shap(self, features) -> np.ndarray:
-        """Ensemble SHAP values [N, input_dim, output_dim] on device."""
-        from ..ops.shap_device import ensemble_shap_device
+    def shap(self, features, ref_compat: bool = False) -> np.ndarray:
+        """Ensemble SHAP values [N, input_dim, output_dim].
+
+        Default: exact path-dependent TreeSHAP on device (matches
+        brute-force Shapley enumeration and the ``shap`` package's
+        TreeExplainer semantics).  ``ref_compat=True`` reproduces the
+        reference C++ outputs exactly (ops/shap_refcompat.py)."""
         Xn, Xc = self._prepare(features, grow_vocab=False)
+        if ref_compat:
+            from ..ops.shap_refcompat import ensemble_shap_ref_compat
+            return ensemble_shap_ref_compat(
+                self.cfg, self.ens, np.asarray(Xn),
+                None if Xc is None else np.asarray(Xc))
+        from ..ops.shap_device import ensemble_shap_device
         return np.asarray(ensemble_shap_device(self.cfg, self.ens, Xn, Xc,
                                                self.input_dim))
 

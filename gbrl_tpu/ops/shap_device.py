@@ -103,7 +103,10 @@ def _tree_slots(cfg: TreeConfig, feat, thr, code, is_split, is_numeric,
     child_idx = 2 * node_idx + 1 + direction         # static
     pc = jnp.take(counts, jnp.asarray(node_idx))     # parent counts [L, D]
     cc = jnp.take(counts, jnp.asarray(child_idx))
-    cold = jnp.where(pc > 0, cc / jnp.maximum(pc, 1.0), 0.0)
+    # counts may be absolute sample counts (our fitter) or path
+    # probabilities in (0, 1] (models imported from reference checkpoints,
+    # reference_import.py) — guard div-by-zero without flooring the divisor
+    cold = jnp.where(pc > 0, cc / jnp.where(pc > 0, pc, 1.0), 0.0)
     cold = jnp.where(valid, cold, 1.0)
 
     # fold repeated features into their first slot (unrolled D^2 compares)
@@ -169,8 +172,14 @@ def tree_shap_device_one(cfg: TreeConfig, feat, thr, code, is_split,
     feat_oh = (slot_feat[:, :, None]
                == jnp.arange(n_features, dtype=jnp.int32)[None, None, :]
                ).astype(jnp.float32)                 # [L, D, F]
-    phi_leaf_feat = jnp.einsum("nld,ldf->nlf", phi_slot, feat_oh)
-    return jnp.einsum("nlf,lo->nfo", phi_leaf_feat, leaf_values)
+    # HIGHEST precision: default einsum would route through the MXU in
+    # bf16 on TPU (~0.5% error on attributions)
+    phi_leaf_feat = jnp.einsum("nld,ldf->nlf", phi_slot, feat_oh,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    return jnp.einsum("nlf,lo->nfo", phi_leaf_feat, leaf_values,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4))

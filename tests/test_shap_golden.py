@@ -72,6 +72,9 @@ def golden_dir(tmp_path_factory):
 
 @pytest.mark.parametrize("tag,out_dim", [("A", 1), ("B", 3)])
 def test_shap_matches_reference_binary(golden_dir, tag, out_dim):
+    """ref_compat mode reproduces the reference's ensemble_shap outputs on
+    models fit by the reference binary (shap.cpp:259-333), including its
+    nearest-ancestor handling of repeated path features."""
     from gbrl_tpu.utils.reference_import import load_reference_model
 
     X = np.loadtxt(golden_dir / "fit_X.txt").astype(np.float32).reshape(N, F)
@@ -79,11 +82,106 @@ def test_shap_matches_reference_binary(golden_dir, tag, out_dim):
         N, F, out_dim)
     learner = load_reference_model(
         str(golden_dir / f"fit_{tag}.gbrl_model"), device="cpu")
-    ours = learner.shap(X)
+    ours = learner.shap(X, ref_compat=True)
     assert ours.shape == (N, F, out_dim)
     # the reference's own bar vs the shap package is rtol=1e-3; attributions
     # span ~[-2, 2] here so a small atol absorbs float32 noise near zero
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-3)
+
+
+def _brute_force_tree_shap(cfg, ens, tree_idx, X):
+    """Exact path-dependent Shapley by subset enumeration over one tree's
+    feature set (the semantics of shap.TreeExplainer, the reference's own
+    external validation oracle, test_gbt_single.py:226-250)."""
+    import itertools
+    import math
+
+    D = cfg.max_depth
+    L = 1 << D
+    counts = np.asarray(ens.counts[tree_idx], dtype=np.float64)
+    feat = np.asarray(ens.feat[tree_idx])
+    thr = np.asarray(ens.thr[tree_idx])
+    spl = np.asarray(ens.is_split[tree_idx])
+    lv = np.asarray(ens.leaf_values[tree_idx])
+    O = lv.shape[-1]
+
+    def leaf_slots(leaf):
+        out = []
+        for d in range(D):
+            node = (1 << d) - 1 + (leaf >> (D - d))
+            direction = (leaf >> (D - 1 - d)) & 1
+            child = 2 * node + 1 + direction
+            w = counts[child] / counts[node] if counts[node] > 0 else 0.0
+            out.append((int(feat[node]), float(thr[node]), direction, w,
+                        bool(spl[node])))
+        return out
+
+    def v_of(x, S):
+        tot = np.zeros(O)
+        for leaf in range(L):
+            p = 1.0
+            for f, t, direc, w, valid in leaf_slots(leaf):
+                if not valid:
+                    continue
+                p *= (1.0 if (x[f] > t) == bool(direc) else 0.0) \
+                    if f in S else w
+                if p == 0.0:
+                    break
+            tot += p * lv[leaf]
+        return tot
+
+    feats = sorted({int(feat[n]) for n in range(L - 1) if spl[n]})
+    k = len(feats)
+    phi = np.zeros((X.shape[0], X.shape[1], O))
+    for i, x in enumerate(X):
+        for j in feats:
+            others = [f for f in feats if f != j]
+            for rsz in range(len(others) + 1):
+                for S in itertools.combinations(others, rsz):
+                    w = (math.factorial(len(S))
+                         * math.factorial(k - len(S) - 1) / math.factorial(k))
+                    phi[i, j] += w * (v_of(x, set(S) | {j}) - v_of(x, set(S)))
+    return phi
+
+
+@pytest.mark.parametrize("tag", ["A", "B"])
+def test_shap_exact_on_imported_models(golden_dir, tag):
+    """The DEFAULT shap path is exact Shapley — validated by brute-force
+    subset enumeration on trees fit by the reference binary (stronger than
+    the reference's own single-sample shap-package check).  The reference
+    C++ itself deviates from exact Shapley when a feature repeats
+    non-adjacently along a path (see ops/shap_refcompat.py docstring), so
+    exactness can only be proven against enumeration, not the golden."""
+    from gbrl_tpu.utils.reference_import import load_reference_model
+
+    X = np.loadtxt(golden_dir / "fit_X.txt").astype(np.float32).reshape(N, F)
+    learner = load_reference_model(
+        str(golden_dir / f"fit_{tag}.gbrl_model"), device="cpu")
+    Xs = X[:8]
+    for tree_idx in (0, int(np.asarray(learner.ens.n_trees)) - 1):
+        ours = learner.tree_shap(tree_idx, Xs)
+        bf = _brute_force_tree_shap(learner.cfg, learner.ens, tree_idx, Xs)
+        np.testing.assert_allclose(ours, bf, rtol=1e-4, atol=1e-5)
+
+
+def test_shap_device_probability_counts_regression(golden_dir):
+    """Regression: ops/shap_device.py must derive cold edge weights as
+    counts[child]/counts[parent] even when counts hold path PROBABILITIES
+    < 1 (imported reference models) rather than absolute sample counts.
+    A div-by-zero guard that floored the divisor at 1.0 silently returned
+    the child probability instead of the ratio (fixed round 3)."""
+    from gbrl_tpu.utils.reference_import import load_reference_model
+
+    X = np.loadtxt(golden_dir / "fit_X.txt").astype(np.float32).reshape(N, F)
+    learner = load_reference_model(
+        str(golden_dir / f"fit_A.gbrl_model"), device="cpu")
+    base = learner.shap(X[:16])
+    # scaling all counts by a common factor leaves every ratio unchanged;
+    # SHAP must be invariant
+    scaled = learner.ens.replace(counts=learner.ens.counts * 1000.0)
+    learner.ens = scaled
+    np.testing.assert_allclose(learner.shap(X[:16]), base,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_tree_shap_single_tree_matches(golden_dir):
