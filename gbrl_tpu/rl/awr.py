@@ -67,73 +67,162 @@ class AWR:
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
         self._replay = []   # list of (obs, act, ret) batches
 
+    # ----------------------------------------------------------- host mirror
+    def _get_mirrors(self):
+        """Host-resident ensemble mirrors (utils/host_mirror.py) serving
+        per-env-step actor forwards and critic bootstrap values in
+        microseconds instead of a device round trip per step."""
+        if not hasattr(self, "_mirrors"):
+            from ..utils.host_mirror import HostMirror
+            alr, clr = self.actor.learner, self.critic.learner
+            ok = (all(s.algo == "SGD" for s in alr.specs)
+                  and all(s.algo == "SGD" for s in clr.specs)
+                  and alr.vocab is None)
+            self._mirrors = (HostMirror(alr), HostMirror(clr)) if ok else None
+        return self._mirrors
+
+    def _sync_mirrors(self):
+        m = self._get_mirrors()
+        if m:
+            m[0].sync()
+            m[1].sync()
+
     def _act(self, obs: np.ndarray, rng):
+        m = self._get_mirrors()
+        if m:
+            # numpy sampling: torch per-op overhead dominates tiny rollout
+            # batches (see rl/ppo.py _sample_np)
+            theta = m[0].predict(np.asarray(obs, dtype=np.float32))
+            A = self.act_dim
+            mu, log_std = theta[:, :A], theta[:, A:]
+            return mu + np.exp(log_std) * rng.standard_normal(
+                mu.shape).astype(np.float32)
         mu, log_std = self.actor(obs, requires_grad=False)
         std = th.exp(log_std)
         dist = Normal(mu, std)
         a = dist.sample()
         return a.numpy()
 
+    def _values(self, obs: np.ndarray) -> np.ndarray:
+        m = self._get_mirrors()
+        if m:
+            return m[1].predict(np.asarray(obs, dtype=np.float32)).reshape(-1)
+        return np.asarray(self.critic(obs, requires_grad=False,
+                                      tensor=False)).reshape(-1)
+
     def _rollout(self, obs, rng):
-        O, A, R, D = [], [], [], []
-        for _ in range(self.n_steps // self.n_envs):
+        """Collect n_steps transitions under gymnasium >=1.0 NextStep
+        autoreset semantics: the observation returned WITH a done flag is
+        the episode's FINAL observation (used to bootstrap truncations),
+        and the following step() call resets that env ignoring the action —
+        that row is recorded with valid=0 and excluded from training."""
+        E = self.n_envs
+        O, A, R, Term, Trunc, FinalV, Valid = [], [], [], [], [], [], []
+        prev_done = self._prev_done
+        for _ in range(self.n_steps // E):
             a = self._act(obs, rng)
             low = self.env.single_action_space.low
             high = self.env.single_action_space.high
             a_clip = np.clip(a, low, high)
             next_obs, rew, term, trunc, _ = self.env.step(a_clip)
             done = np.logical_or(term, trunc)
-            # replay the EXECUTED (clipped) actions (AWR regresses onto them)
+            # truncated episodes bootstrap from the final observation
+            # (which IS next_obs under NextStep autoreset)
+            fv = np.zeros(E, dtype=np.float32)
+            tr_only = np.logical_and(trunc, ~term)
+            if tr_only.any():
+                fv[tr_only] = self._values(next_obs[tr_only])
             O.append(obs); A.append(a_clip); R.append(rew)
-            D.append(done.astype(np.float32))
-            self._ep_ret += rew
-            for i in range(self.n_envs):
-                if done[i]:
+            Term.append(term.astype(np.float32))
+            Trunc.append(trunc.astype(np.float32))
+            FinalV.append(fv)
+            Valid.append(1.0 - prev_done.astype(np.float32))
+            rew_eff = np.where(prev_done, 0.0, rew)
+            self._ep_ret += rew_eff
+            for i in range(E):
+                if done[i] and not prev_done[i]:
                     self.episode_rewards.append(self._ep_ret[i])
                     self._ep_ret[i] = 0.0
+            prev_done = done
             obs = next_obs
+        self._prev_done = prev_done
         return (np.asarray(O, dtype=np.float32), np.asarray(A, np.float32),
-                np.asarray(R, np.float32), np.asarray(D, np.float32), obs)
+                np.asarray(R, np.float32), np.asarray(Term, np.float32),
+                np.asarray(Trunc, np.float32),
+                np.asarray(FinalV, np.float32),
+                np.asarray(Valid, np.float32), obs)
 
-    def _monte_carlo_returns(self, R, D, last_obs):
-        """TD(lambda)-style bootstrapped returns using the current critic."""
-        T = R.shape[0]
-        v_last = np.asarray(
-            self.critic(last_obs, requires_grad=False, tensor=False)
-        ).reshape(-1)
-        ret = np.zeros_like(R)
-        running = v_last
+    def _td_lambda(self, O, R, Term, Trunc, FinalV, last_obs):
+        """TD(lambda) advantages + targets (AWR paper section 4 / GAE):
+        delta_t = r_t + gamma * V(s_{t+1}) * cont - V(s_t);
+        adv = GAE(lambda); target = adv + V(s_t).
+
+        Terminations cut the chain; truncations bootstrap with
+        V(final_obs) (time-limit-aware, under NextStep autoreset the final
+        observation is the obs delivered with the done flag).  lambda < 1
+        is what makes AWR workable here: the lambda=1 MC-return-minus-V
+        advantage is dominated by critic error (~episode-return scale)
+        rather than per-action signal, and the exponential weights then
+        rank samples by critic noise."""
+        T, E = R.shape
+        v = self._values(O.reshape(T * E, -1)).reshape(T, E)
+        v_next = np.empty_like(v)
+        v_next[:-1] = v[1:]
+        v_next[-1] = self._values(last_obs)
+        adv = np.zeros_like(R)
+        gae = np.zeros(E, dtype=np.float32)
         for t in reversed(range(T)):
-            running = R[t] + self.gamma * (1.0 - D[t]) * running
-            ret[t] = running
-        return ret
+            done = np.maximum(Term[t], Trunc[t])
+            boot = (1.0 - done) * v_next[t] + Trunc[t] * (1 - Term[t]) \
+                * FinalV[t]
+            delta = R[t] + self.gamma * boot - v[t]
+            gae = delta + self.gamma * self.gae_lambda * (1.0 - done) * gae
+            adv[t] = gae
+        return adv, adv + v
 
     def learn(self, total_timesteps: int, seed: int = 0):
         rng = np.random.default_rng(seed)
         obs, _ = self.env.reset(seed=seed)
+        self._prev_done = np.zeros(self.n_envs, dtype=bool)
+        self.curve = []
+        # preallocate capacity for the whole run (avoids jit recompiles of
+        # the donated update loop at every power-of-two capacity crossing)
+        from ..ensemble import ensure_capacity
+        iters_planned = -(-total_timesteps // self.n_steps)
+        for model, per_iter in ((self.actor, self.actor_updates),
+                                (self.critic, self.critic_updates)):
+            lr = model.learner
+            lr.ens = ensure_capacity(
+                lr.ens, int(lr.ens.n_trees) + iters_planned * per_iter)
         steps, it = 0, 0
         while steps < total_timesteps:
-            O, A, R, D, obs = self._rollout(obs, rng)
-            ret = self._monte_carlo_returns(R, D, obs)
-            n = O.shape[0] * O.shape[1]
-            flat_obs = O.reshape(n, -1)
-            flat_act = A.reshape(n, -1)
-            flat_ret = ret.reshape(n)
-            self._replay.append((flat_obs, flat_act, flat_ret))
+            O, A, R, Term, Trunc, FinalV, Valid, obs = self._rollout(obs, rng)
+            adv, ret = self._td_lambda(O, R, Term, Trunc, FinalV, obs)
+            keep = Valid.reshape(-1) > 0.5
+            flat_obs = O.reshape(len(keep), -1)[keep]
+            flat_act = A.reshape(len(keep), -1)[keep]
+            flat_ret = ret.reshape(-1)[keep]
+            flat_adv = adv.reshape(-1)[keep]
+            self._replay.append((flat_obs, flat_act, flat_ret, flat_adv))
             total = sum(len(x[0]) for x in self._replay)
             while total > self.buffer_size and len(self._replay) > 1:
                 total -= len(self._replay.pop(0)[0])
             r_obs = np.concatenate([x[0] for x in self._replay])
             r_act = np.concatenate([x[1] for x in self._replay])
             r_ret = np.concatenate([x[2] for x in self._replay])
+            r_adv = np.concatenate([x[3] for x in self._replay])
 
             if self.jit_update and self.actor.learner.vocab is None:
                 # fused device loop: all critic + actor boosting steps of
                 # this iteration in one jit call (rl/jit_awr.py)
                 from .jit_awr import run_awr_update
-                run_awr_update(self, r_obs, r_act, r_ret, rng)
+                run_awr_update(self, r_obs, r_act, r_ret, rng, r_adv)
+                self._sync_mirrors()
                 steps += self.n_steps
                 it += 1
+                self.curve.append(dict(
+                    steps=steps, mean_reward_100=self.mean_reward(),
+                    trees=self.actor.get_num_trees()))
                 if self.log_interval and it % self.log_interval == 0:
                     mean100 = (np.mean(self.episode_rewards[-100:])
                                if self.episode_rewards else float("nan"))
@@ -155,9 +244,7 @@ class AWR:
             # exponential weights otherwise)
             for _ in range(self.actor_updates):
                 mb = rng.integers(0, len(r_obs), self.batch_size)
-                v = np.asarray(self.critic(r_obs[mb], requires_grad=False,
-                                           tensor=False)).reshape(-1)
-                adv = r_ret[mb] - v
+                adv = r_adv[mb]
                 adv = (adv - adv.mean()) / (adv.std() + 1e-8)
                 w = np.exp(np.minimum(adv / self.beta,
                                       np.log(self.max_weight)))
@@ -168,8 +255,12 @@ class AWR:
                 loss.backward()
                 self.actor.step()
 
+            self._sync_mirrors()
             steps += self.n_steps
             it += 1
+            self.curve.append(dict(
+                steps=steps, mean_reward_100=self.mean_reward(),
+                trees=self.actor.get_num_trees()))
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])
                            if self.episode_rewards else float("nan"))

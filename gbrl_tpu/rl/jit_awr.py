@@ -37,10 +37,13 @@ def awr_update_loop(acfg: TreeConfig, ccfg: TreeConfig, hp: AWRHyper,
                     n_updates: Tuple[int, int],
                     actor_ens: Ensemble, critic_ens: Ensemble,
                     X: jax.Array, acts: jax.Array, rets: jax.Array,
+                    advs: jax.Array,
                     cmb_idx: jax.Array, amb_idx: jax.Array,
                     feat_w: jax.Array):
-    """X [B, F] replay observations; acts [B, A]; rets [B]; cmb_idx
-    [Kc, mb] / amb_idx [Ka, mb] minibatch row plans.  Returns
+    """X [B, F] replay observations; acts [B, A]; rets [B] TD(lambda)
+    critic targets; advs [B] stored TD(lambda) advantages (computed at
+    collection time, rl/awr.py _td_lambda); cmb_idx [Kc, mb] / amb_idx
+    [Ka, mb] minibatch row plans.  Returns
     (actor_ens, critic_ens, (critic_loss_trace, actor_loss_trace))."""
     actor_specs, critic_specs = specs
     Kc, Ka = n_updates
@@ -68,10 +71,7 @@ def awr_update_loop(acfg: TreeConfig, ccfg: TreeConfig, hp: AWRHyper,
         idx = jax.lax.dynamic_slice(amb_idx, (k, 0), (1, mb))[0]
         Xmb = jnp.take(X, idx, axis=0)
         a = jnp.take(acts, idx, axis=0)
-        r = jnp.take(rets, idx)
-        v = predict_sgd(ccfg, critic_ens, Xmb, critic_specs, 0,
-                        critic_ens.capacity)[:, 0]
-        adv = r - v
+        adv = jnp.take(advs, idx)
         adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
         w = jnp.exp(jnp.minimum(adv / hp.beta,
                                 jnp.log(hp.max_weight)))
@@ -95,7 +95,7 @@ def awr_update_loop(acfg: TreeConfig, ccfg: TreeConfig, hp: AWRHyper,
 
 
 def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
-                   r_ret: np.ndarray, rng) -> None:
+                   r_ret: np.ndarray, rng, r_adv: np.ndarray) -> None:
     """Host wrapper: build the minibatch plans, ship the replay once, run
     the fused loop, update both learners in place."""
     actor_lr = algo.actor.learner
@@ -118,6 +118,7 @@ def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
             [r_act, np.zeros((B_pad - B,) + r_act.shape[1:],
                              r_act.dtype)])
         r_ret = np.concatenate([r_ret, np.zeros(B_pad - B, r_ret.dtype)])
+        r_adv = np.concatenate([r_adv, np.zeros(B_pad - B, r_adv.dtype)])
 
     Xn, Xc = actor_lr._prepare(r_obs, grow_vocab=False)
     assert Xc is None, "jit AWR supports numerical features only"
@@ -133,6 +134,7 @@ def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
         actor_lr.ens, critic_lr.ens, Xn,
         jnp.asarray(r_act.astype(np.float32)),
         jnp.asarray(r_ret.astype(np.float32)),
+        jnp.asarray(r_adv.astype(np.float32)),
         jnp.asarray(cmb), jnp.asarray(amb),
         actor_lr._internal_feature_weights())
     actor_lr.total_iterations += Ka

@@ -80,11 +80,57 @@ class PPO:
         self.episode_rewards = []
         self._ep_ret = np.zeros((len(self.env_groups), self.n_envs),
                                 dtype=np.float64)
+        self._mirror = None
+
+    # ----------------------------------------------------------- host mirror
+    def _get_mirror(self):
+        """Host-resident ensemble mirror serving rollout forwards in
+        microseconds (utils/host_mirror.py): per-env-step predicts on tiny
+        batches pay a full device round trip each (~ms through a tunneled
+        TPU), dominating RL wall-clock; the mirror syncs only the NEW trees
+        after each update phase and walks them on host like the reference's
+        own CPU predictor (predictor.cpp:122-184)."""
+        if self._mirror is None:
+            from ..learners.actor_critic_learner import \
+                SharedActorCriticLearner
+            lr = self.model.learner
+            if (isinstance(lr, SharedActorCriticLearner)
+                    and all(s.algo == "SGD" for s in lr.specs)
+                    and lr.vocab is None and lr.student_model is None):
+                from ..utils.host_mirror import HostMirror
+                self._mirror = HostMirror(lr)
+            else:
+                self._mirror = False
+        return self._mirror or None
 
     # -------------------------------------------------------------- rollout
     def _policy_value(self, obs: np.ndarray):
+        mirror = self._get_mirror()
+        if mirror is not None:
+            preds = mirror.predict(np.asarray(obs, dtype=np.float32))
+            theta = th.from_numpy(preds[:, :self.n_actions].copy())
+            value = th.from_numpy(preds[:, self.n_actions].copy())
+            return theta, value
         theta, value = self.model(obs, requires_grad=False, tensor=True)
         return theta, value
+
+    def _sample_np(self, obs: np.ndarray, rng):
+        """Numpy categorical sampling from mirror predictions.  Torch's
+        per-op overhead dominates tiny rollout batches (measured 6 ms per
+        16x2 softmax -> 1.5 s of a 2.4 s rollout); numpy sampling costs
+        ~10 us.  Returns (actions i64 [N], log_probs f32 [N], values [N])."""
+        mirror = self._get_mirror()
+        preds = mirror.predict(np.asarray(obs, dtype=np.float32))
+        logits = preds[:, :self.n_actions]
+        logits = logits - logits.max(axis=1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+        p = np.exp(logp)
+        u = rng.random(p.shape[0])
+        cum = np.cumsum(p, axis=1)
+        actions = (u[:, None] >= cum).sum(axis=1)
+        np.clip(actions, 0, self.n_actions - 1, out=actions)
+        lp = np.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+        return actions, lp.astype(np.float32), preds[:, self.n_actions]
 
     def _track_episodes(self, g: int, rewards, done_now):
         self._ep_ret[g] += rewards
@@ -94,20 +140,30 @@ class PPO:
                 self._ep_ret[g, i] = 0.0
 
     def collect_rollout(self, buffer: RolloutBuffer, obs, dones, rng):
+        use_np = self._get_mirror() is not None
         for _ in range(self.n_steps):
-            theta, value = self._policy_value(obs)
-            dist = Categorical(logits=theta)
-            actions = dist.sample()
-            log_probs = dist.log_prob(actions).numpy()
-            actions_np = actions.numpy()
+            if use_np:
+                actions_np, log_probs, values = self._sample_np(obs, rng)
+            else:
+                theta, value = self._policy_value(obs)
+                dist = Categorical(logits=theta)
+                actions = dist.sample()
+                log_probs = dist.log_prob(actions).numpy()
+                actions_np = actions.numpy()
+                values = value.detach().numpy().reshape(-1)
             next_obs, rewards, terms, truncs, _ = self.env.step(actions_np)
             done_now = np.logical_or(terms, truncs).astype(np.float32)
-            buffer.add(obs, actions_np, rewards, dones,
-                       value.detach().numpy().reshape(-1), log_probs)
+            buffer.add(obs, actions_np, rewards, dones, values, log_probs)
             self._track_episodes(0, rewards, done_now)
             obs, dones = next_obs, done_now
-        _, last_value = self._policy_value(obs)
-        buffer.compute_returns(last_value.detach().numpy().reshape(-1), dones)
+        if use_np:
+            preds = self._get_mirror().predict(
+                np.asarray(obs, dtype=np.float32))
+            last_values = preds[:, self.n_actions]
+        else:
+            _, last_value = self._policy_value(obs)
+            last_values = last_value.detach().numpy().reshape(-1)
+        buffer.compute_returns(last_values, dones)
         return obs, dones
 
     def collect_rollout_pipelined(self, buffers, obs_list, dones_list, rng):
@@ -118,6 +174,25 @@ class PPO:
         G = len(self.env_groups)
         learner = self.model.learner
         na = self.n_actions
+        mirror = self._get_mirror()
+        if mirror is not None:
+            # host mirror makes forwards ~us: no pipelining needed
+            for g in range(G):
+                for _ in range(self.n_steps):
+                    a_np, log_probs, values = self._sample_np(
+                        obs_list[g], rng)
+                    next_obs, rewards, terms, truncs, _ = \
+                        self.env_groups[g].step(a_np)
+                    done_now = np.logical_or(terms, truncs).astype(np.float32)
+                    buffers[g].add(obs_list[g], a_np, rewards, dones_list[g],
+                                   values, log_probs)
+                    self._track_episodes(g, rewards, done_now)
+                    obs_list[g], dones_list[g] = next_obs, done_now
+                boot = mirror.predict(
+                    np.asarray(obs_list[g], dtype=np.float32))
+                buffers[g].compute_returns(boot[:, na].reshape(-1),
+                                           dones_list[g])
+            return obs_list, dones_list
         futures = [learner.predict_async(obs_list[g]) for g in range(G)]
         for _ in range(self.n_steps):
             for g in range(G):
@@ -229,6 +304,21 @@ class PPO:
                                  self.gamma, self.gae_lambda)
                    for _ in range(G)]
         self._buffers = buffers   # final-rollout diagnostics (tests)
+        # preallocate ensemble capacity for the WHOLE run: capacity growth
+        # mid-run reallocates the donated ensemble pytree and recompiles the
+        # jitted update loop at every power-of-two crossing (5 recompiles x
+        # ~1min for a 500k-step run); one up-front growth -> one compile
+        rollout_rows = self.n_steps * self.n_envs * G
+        iters_planned = -(-total_timesteps // rollout_rows)
+        trees_per_update = self.n_epochs * (-(-rollout_rows
+                                              // self.batch_size))
+        from ..ensemble import ensure_capacity
+        lr = self.model.learner
+        if hasattr(lr, "ens") and lr.ens is not None:
+            lr.ens = ensure_capacity(
+                lr.ens, int(lr.ens.n_trees)
+                + iters_planned * trees_per_update)
+        self.curve = []           # per-iteration (steps, mean100, trees)
         steps = 0
         it = 0
         while steps < total_timesteps:
@@ -239,8 +329,13 @@ class PPO:
                 obs_list, dones_list = self.collect_rollout_pipelined(
                     buffers, obs_list, dones_list, rng)
             self.update(buffers, rng)
+            if self._mirror:
+                self._mirror.sync()
             steps += self.n_steps * self.n_envs * G
             it += 1
+            self.curve.append(dict(
+                steps=steps, mean_reward_100=self.mean_reward(),
+                trees=self.model.get_num_trees()))
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])
                            if self.episode_rewards else float("nan"))

@@ -1,0 +1,269 @@
+r"""Host-resident ensemble mirror for microsecond rollout forwards.
+
+RL rollouts call ``predict`` on tiny batches (n_envs observations) once per
+environment step — tens of thousands of times per training run.  Serving
+those from the accelerator costs a full dispatch + transfer round trip per
+step (measured ~50 ms/step through a tunneled TPU vs 6.9 us/sample for
+compiled host inference), while the accelerator's strength — the update
+phase's histogram/fit work on thousands of samples — is idle during
+rollouts anyway.
+
+This module keeps an incrementally-synced host copy of the ensemble
+(device -> host transfer of only the NEW trees after each update phase) and
+serves predictions from a tiny data-driven C kernel (compiled once at first
+use; numpy fallback otherwise).  This mirrors the reference's deployment
+split: its C++ ``Predictor::predict_cpu`` (predictor.cpp:122-184) walks
+heap trees on the host; ours additionally pre-multiplies leaf values by the
+optimizer coefficients -lr_o(t) (optimizer.cpp:110-118, scheduler.h:124-133)
+so a prediction is ``bias + sum_t wleaf[t, leaf(x, t), :]``.
+
+Exactness: leaf values are immutable once fit and SGD coefficients depend
+only on the tree index, so the mirror reproduces the device predict path's
+semantics; float32 summation order differs (tree-major here), giving
+~1e-6-level differences, same as the reference's parallel-over-trees
+reduction (predictor.cpp:147-165).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_C_SRC = r"""
+#include <stdint.h>
+
+/* Heap-layout greedy/oblivious tree walk + coefficient-weighted leaf sum.
+   rel descends the implicit heap: pass-through (non-split) nodes descend
+   left, numeric splits go right on x > thr, categorical on code equality
+   (node.cpp:77-96 semantics). */
+void gbrl_mirror_predict(
+    const float *X,            /* [N, F] numeric features */
+    const int32_t *Xc,         /* [N, Fc] categorical codes (or NULL) */
+    int64_t N, int64_t F, int64_t Fc,
+    const int32_t *feat,       /* [T, P] */
+    const float *thr,          /* [T, P] */
+    const uint8_t *split,      /* [T, P] */
+    const uint8_t *isnum,      /* [T, P] */
+    const int32_t *code,       /* [T, P] */
+    const float *wleaf,        /* [T, L, O] coeff-premultiplied leaf values */
+    int64_t T, int64_t D, int64_t O,
+    const float *bias,         /* [O] */
+    float *out)                /* [N, O] */
+{
+    int64_t P = (1LL << D) - 1;
+    int64_t L = 1LL << D;
+    for (int64_t n = 0; n < N; ++n) {
+        const float *x = X + n * F;
+        const int32_t *xc = Xc ? Xc + n * Fc : 0;
+        float *o = out + n * O;
+        for (int64_t j = 0; j < O; ++j) o[j] = bias[j];
+        for (int64_t t = 0; t < T; ++t) {
+            const int32_t *tf = feat + t * P;
+            const float *tt = thr + t * P;
+            const uint8_t *ts = split + t * P;
+            const uint8_t *tn = isnum + t * P;
+            const int32_t *tc = code + t * P;
+            int64_t rel = 0;
+            for (int64_t d = 0; d < D; ++d) {
+                int64_t p = (1LL << d) - 1 + rel;
+                int go = 0;
+                if (ts[p]) {
+                    int32_t f = tf[p];
+                    if (tn[p]) go = x[f] > tt[p];
+                    else       go = xc && xc[f] == tc[p];
+                }
+                rel = 2 * rel + go;
+            }
+            const float *w = wleaf + (t * L + rel) * O;
+            for (int64_t j = 0; j < O; ++j) o[j] += w[j];
+        }
+    }
+}
+"""
+
+_lib = None
+_lib_failed = False
+
+
+def _load_lib():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        cache = os.path.join(tempfile.gettempdir(), "gbrl_tpu_mirror")
+        os.makedirs(cache, exist_ok=True)
+        src = os.path.join(cache, "mirror.c")
+        so = os.path.join(cache, "mirror.so")
+        if not os.path.exists(so):
+            with open(src, "w") as f:
+                f.write(_C_SRC)
+            subprocess.run(
+                ["gcc" if _which("gcc") else "g++", "-O2", "-shared", "-fPIC",
+                 src, "-o", so], check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.gbrl_mirror_predict.restype = None
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def _which(prog: str) -> Optional[str]:
+    import shutil
+    return shutil.which(prog)
+
+
+def _host_sgd_coeff(specs, t0: int, t1: int, output_dim: int) -> np.ndarray:
+    """-lr_o(t) on each optimizer's column range for trees [t0, t1):
+    host replica of optimizers.sgd_coeff (scheduler.h:124-133, 182-185)."""
+    t = np.arange(t0, t1, dtype=np.float32)
+    coeff = np.zeros((t1 - t0, output_dim), dtype=np.float32)
+    for s in specs:
+        if s.scheduler == "Linear":
+            frac = np.minimum(t / np.float32(max(s.T, 1)), 1.0)
+            lr = s.init_lr + (s.stop_lr - s.init_lr) * frac
+            lr = np.maximum(lr, min(s.init_lr, s.stop_lr))
+        else:
+            lr = np.full_like(t, s.init_lr)
+        stop = s.stop_idx if s.stop_idx else output_dim
+        coeff[:, s.start_idx:stop] -= lr[:, None]
+    return coeff
+
+
+class HostMirror:
+    """Incrementally-synced host copy of a GBTLearner's ensemble.
+
+    Usage::
+
+        mirror = HostMirror(learner)
+        ...
+        mirror.sync()            # after each update phase (cheap: new trees)
+        preds = mirror.predict(obs)   # [N, O] numpy, microseconds
+    """
+
+    def __init__(self, learner):
+        assert all(s.algo == "SGD" for s in learner.specs), \
+            "HostMirror supports SGD optimizers (Adam predict is sequential)"
+        self.learner = learner
+        cfg = learner.cfg
+        self.D = cfg.max_depth
+        self.P = (1 << self.D) - 1
+        self.L = 1 << self.D
+        self.O = cfg.output_dim
+        self.n_synced = 0
+        cap = 256
+        self._alloc(cap)
+        self.bias = np.zeros(self.O, dtype=np.float32)
+        self.sync()
+
+    def _alloc(self, cap: int):
+        self.cap = cap
+        self.feat = np.zeros((cap, self.P), dtype=np.int32)
+        self.thr = np.zeros((cap, self.P), dtype=np.float32)
+        self.split = np.zeros((cap, self.P), dtype=np.uint8)
+        self.isnum = np.ones((cap, self.P), dtype=np.uint8)
+        self.code = np.full((cap, self.P), -1, dtype=np.int32)
+        self.wleaf = np.zeros((cap, self.L, self.O), dtype=np.float32)
+
+    def _grow(self, need: int):
+        cap = self.cap
+        while cap < need:
+            cap *= 2
+        old = (self.feat, self.thr, self.split, self.isnum, self.code,
+               self.wleaf)
+        n = self.n_synced
+        self._alloc(cap)
+        for new, o in zip((self.feat, self.thr, self.split, self.isnum,
+                           self.code, self.wleaf), old):
+            new[:n] = o[:n]
+
+    def sync(self) -> int:
+        """Pull trees [n_synced, n_trees) + bias from the device ensemble.
+        Returns the number of new trees copied."""
+        ens = self.learner.ens
+        n = int(ens.n_trees)
+        a = self.n_synced
+        if n > self.cap:
+            self._grow(n)
+        self.bias = np.asarray(ens.bias, dtype=np.float32).reshape(self.O)
+        if n > a:
+            self.feat[a:n] = np.asarray(ens.feat[a:n])[:, :self.P]
+            self.thr[a:n] = np.asarray(ens.thr[a:n])[:, :self.P]
+            self.split[a:n] = np.asarray(
+                ens.is_split[a:n])[:, :self.P].astype(np.uint8)
+            self.isnum[a:n] = np.asarray(
+                ens.is_numeric[a:n])[:, :self.P].astype(np.uint8)
+            self.code[a:n] = np.asarray(ens.cat_code[a:n])[:, :self.P]
+            lv = np.asarray(ens.leaf_values[a:n])
+            coeff = _host_sgd_coeff(self.learner.specs, a, n, self.O)
+            self.wleaf[a:n] = lv * coeff[:, None, :]
+            self.n_synced = n
+        return n - a
+
+    # ------------------------------------------------------------------ API
+    def predict(self, X: np.ndarray, Xc: Optional[np.ndarray] = None
+                ) -> np.ndarray:
+        """[N, O] predictions for numeric features X (+optional categorical
+        codes Xc), served entirely on host."""
+        X = np.ascontiguousarray(X, dtype=np.float32)
+        if X.ndim == 1:
+            X = X.reshape(1, -1)
+        N, F = X.shape
+        T = self.n_synced
+        out = np.empty((N, self.O), dtype=np.float32)
+        lib = _load_lib()
+        if lib is not None:
+            Fc = 0 if Xc is None else Xc.shape[1]
+            xc_ptr = None
+            if Xc is not None:
+                Xc = np.ascontiguousarray(Xc, dtype=np.int32)
+                xc_ptr = Xc.ctypes.data_as(ctypes.c_void_p)
+            lib.gbrl_mirror_predict(
+                X.ctypes.data_as(ctypes.c_void_p), xc_ptr,
+                ctypes.c_int64(N), ctypes.c_int64(F), ctypes.c_int64(Fc),
+                self.feat.ctypes.data_as(ctypes.c_void_p),
+                self.thr.ctypes.data_as(ctypes.c_void_p),
+                self.split.ctypes.data_as(ctypes.c_void_p),
+                self.isnum.ctypes.data_as(ctypes.c_void_p),
+                self.code.ctypes.data_as(ctypes.c_void_p),
+                self.wleaf.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(T), ctypes.c_int64(self.D),
+                ctypes.c_int64(self.O),
+                self.bias.ctypes.data_as(ctypes.c_void_p),
+                out.ctypes.data_as(ctypes.c_void_p))
+            return out
+        return self._predict_numpy(X, Xc)
+
+    def _predict_numpy(self, X: np.ndarray, Xc: Optional[np.ndarray]
+                       ) -> np.ndarray:
+        N = X.shape[0]
+        T = self.n_synced
+        if T == 0:
+            return np.broadcast_to(self.bias, (N, self.O)).copy()
+        rel = np.zeros((N, T), dtype=np.int64)
+        tidx = np.arange(T)
+        for d in range(self.D):
+            node = (1 << d) - 1 + rel                      # [N, T]
+            f = self.feat[tidx[None, :], node]
+            s = self.split[tidx[None, :], node].astype(bool)
+            isn = self.isnum[tidx[None, :], node].astype(bool)
+            thr = self.thr[tidx[None, :], node]
+            go = np.take_along_axis(X, np.maximum(f, 0), axis=1) > thr
+            if Xc is not None and Xc.shape[1] > 0:
+                cc = self.code[tidx[None, :], node]
+                goc = np.take_along_axis(Xc, np.maximum(f, 0), axis=1) == cc
+                go = np.where(isn, go, goc)
+            rel = 2 * rel + (s & go)
+        w = self.wleaf[:T]
+        out = np.broadcast_to(self.bias, (N, self.O)).copy()
+        for tset in range(0, T, 512):
+            te = min(tset + 512, T)
+            sel = w[tset:te][np.arange(te - tset)[None, :],
+                             rel[:, tset:te]]      # [N, C, O]
+            out += sel.sum(axis=1)
+        return out

@@ -126,3 +126,61 @@ def test_fit_matches_reference_binary(golden_dir, tag):
         close = np.isclose(preds, ref_preds, rtol=5e-3, atol=5e-4)
         assert close.mean() >= 0.995, f"only {close.mean():.4f} match"
         assert np.abs(preds - ref_preds)[~close].max() < 0.1
+
+
+@pytest.mark.parametrize("tag", ["A", "B"])
+def test_fit_tree_structures_match_reference(golden_dir, tag):
+    """Tree-STRUCTURE parity: the reference's saved checkpoint
+    (types.cpp:681+) is imported into our heap layout and compared
+    tree-by-tree against our own fit — feature indices and split booleans
+    exactly, thresholds and leaf values to float32 tolerance.
+
+    Config A (oblivious+L2) must be structurally identical.  Config B
+    (greedy+cosine) may differ in the documented degenerate 1-sample-node
+    accept decisions (reference's sqrtf/sqrt +-1ulp asymmetry, module
+    docstring): differing trees are counted and bounded, and all other
+    trees must match exactly."""
+    from gbrl_tpu.utils.reference_import import load_reference_model
+
+    ref = load_reference_model(str(golden_dir / f"fit_{tag}.gbrl_model"),
+                               device="cpu")
+    ours, _, _ = _fit_ours(golden_dir, tag)
+
+    n_ref = int(np.asarray(ref.ens.n_trees))
+    n_ours = int(np.asarray(ours.ens.n_trees))
+    assert n_ref == n_ours == ITERS
+
+    def arrays(learner):
+        e = learner.ens
+        n = int(np.asarray(e.n_trees))
+        return (np.asarray(e.feat)[:n], np.asarray(e.thr)[:n],
+                np.asarray(e.is_split)[:n], np.asarray(e.leaf_values)[:n])
+
+    rf, rt, rs, rv = arrays(ref)
+    of, ot, os_, ov = arrays(ours)
+
+    bad_trees = []
+    for t in range(n_ref):
+        same = (np.array_equal(rs[t], os_[t])
+                and np.array_equal(np.where(rs[t], rf[t], -1),
+                                   np.where(os_[t], of[t], -1))
+                and np.allclose(np.where(rs[t], rt[t], 0.0),
+                                np.where(os_[t], ot[t], 0.0), atol=1e-6)
+                and np.allclose(rv[t], ov[t], atol=1e-5))
+        if not same:
+            bad_trees.append(t)
+    if tag == "A":
+        assert not bad_trees, f"structurally differing trees: {bad_trees}"
+    else:
+        # the documented degenerate 1-sample-node accept artifact occurs at
+        # tree 35 (module docstring); its re-routed rows perturb gradients,
+        # so every LATER tree may differ structurally while losses stay
+        # locked to 2e-3.  Assert the exact cascade shape: perfect
+        # structural parity through tree 34, divergence only as a
+        # contiguous suffix starting at the documented event.
+        assert not bad_trees or min(bad_trees) >= 35, \
+            f"structural divergence before the documented tree-35 " \
+            f"artifact: {bad_trees[:5]}"
+        assert bad_trees == list(range(min(bad_trees), ITERS)) \
+            if bad_trees else True, \
+            f"non-contiguous divergence (not a cascade): {bad_trees}"
