@@ -210,12 +210,20 @@ class GBTLearner(BaseLearner):
             if a.nbytes <= (1 << 20):
                 h.update(a.tobytes())
             else:
-                # large batches: strided ~1MB subsample + a global float64
-                # sum keeps keying O(1MB) instead of O(N*F) while still
-                # catching elementwise mutations
+                # large batches: two coprime-strided ~1MB subsamples (one
+                # offset mid-array) + per-row and global float64 sums keep
+                # keying O(1MB) instead of O(N*F).  Collisions require
+                # agreement on both stride lattices AND every row sum —
+                # e.g. a row permutation or compensating edits inside one
+                # row are caught by the row sums; this is probabilistic,
+                # not exact (see predict() docstring)
                 flat = a.reshape(-1)
                 step = max(1, (flat.size * flat.itemsize) >> 20)
                 h.update(flat[::step].tobytes())
+                step2 = step + 1
+                h.update(flat[(step // 2)::step2].tobytes())
+                if a.ndim == 2:
+                    h.update(a.sum(axis=1, dtype=np.float64).tobytes())
                 h.update(np.asarray(
                     flat.sum(dtype=np.float64)).tobytes())
         return Xn, Xc, h.digest()
@@ -305,7 +313,12 @@ class GBTLearner(BaseLearner):
 
         Full-range SGD predictions on a repeated input are served
         incrementally: only trees added since the cached call are evaluated
-        (leaf values are immutable once fit, so cache + delta is exact).
+        (leaf values are immutable once fit, so cache + delta reproduces a
+        full predict).  Input identity is established by a content hash;
+        for batches over 1MB the hash covers two strided subsamples plus
+        per-row/global sums rather than every byte, so cache correctness is
+        probabilistic (collision-resistant against permutations and
+        elementwise edits, not cryptographically exhaustive).
         This makes the predict-inside-training-loop pattern O(new trees)."""
         assert self.ens is not None, "call reset() first"
         Xn, Xc, key = self._prepare(inputs, grow_vocab=False, with_key=True)

@@ -50,6 +50,34 @@ class A2C:
         self.log_interval = log_interval
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
+        self._mirror = None
+
+    def _get_mirror(self):
+        """Host-resident ensemble mirror serving rollout forwards
+        (utils/host_mirror.py; supports both SGD and Adam leaf
+        optimizers — the Adam recurrence runs vectorized on host)."""
+        if self._mirror is None:
+            lr = self.model.learner
+            if getattr(lr, "vocab", None) is None \
+                    and getattr(lr, "student_model", None) is None \
+                    and hasattr(lr, "ens"):
+                from ..utils.host_mirror import HostMirror
+                self._mirror = HostMirror(lr)
+            else:
+                self._mirror = False
+        return self._mirror or None
+
+    def _sample_np(self, obs, rng, mirror):
+        preds = mirror.predict(np.asarray(obs, dtype=np.float32))
+        na = self.n_actions
+        logits = preds[:, :na] - preds[:, :na].max(axis=1, keepdims=True)
+        logp = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+        p = np.exp(logp)
+        u = rng.random(p.shape[0])
+        actions = (u[:, None] >= np.cumsum(p, axis=1)).sum(axis=1)
+        np.clip(actions, 0, na - 1, out=actions)
+        lp = np.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+        return actions, lp.astype(np.float32), preds[:, na]
 
     def learn(self, total_timesteps: int, seed: int = 0):
         rng = np.random.default_rng(seed)
@@ -57,27 +85,37 @@ class A2C:
         dones = np.zeros(self.n_envs, dtype=np.float32)
         buffer = RolloutBuffer(self.n_steps, self.n_envs, self.obs_dim,
                                self.gamma, self.gae_lambda)
+        self.curve = []
         steps, it = 0, 0
+        mirror = self._get_mirror()
         while steps < total_timesteps:
             for _ in range(self.n_steps):
-                theta, value = self.model(obs, requires_grad=False)
-                dist = Categorical(logits=theta)
-                actions = dist.sample()
-                log_probs = dist.log_prob(actions).numpy()
-                a_np = actions.numpy()
+                if mirror is not None:
+                    a_np, log_probs, values = self._sample_np(
+                        obs, rng, mirror)
+                else:
+                    theta, value = self.model(obs, requires_grad=False)
+                    dist = Categorical(logits=theta)
+                    actions = dist.sample()
+                    log_probs = dist.log_prob(actions).numpy()
+                    a_np = actions.numpy()
+                    values = value.detach().numpy().reshape(-1)
                 next_obs, rewards, terms, truncs, _ = self.env.step(a_np)
                 done_now = np.logical_or(terms, truncs).astype(np.float32)
-                buffer.add(obs, a_np, rewards, dones,
-                           value.detach().numpy().reshape(-1), log_probs)
+                buffer.add(obs, a_np, rewards, dones, values, log_probs)
                 self._ep_ret += rewards
                 for i in range(self.n_envs):
                     if done_now[i]:
                         self.episode_rewards.append(self._ep_ret[i])
                         self._ep_ret[i] = 0.0
                 obs, dones = next_obs, done_now
-            _, last_value = self.model(obs, requires_grad=False)
-            buffer.compute_returns(last_value.detach().numpy().reshape(-1),
-                                   dones)
+            if mirror is not None:
+                last_values = mirror.predict(
+                    np.asarray(obs, dtype=np.float32))[:, self.n_actions]
+            else:
+                _, last_value = self.model(obs, requires_grad=False)
+                last_values = last_value.detach().numpy().reshape(-1)
+            buffer.compute_returns(last_values, dones)
             b_obs, b_act, _, adv, ret, _ = buffer.flat()
             theta, values = self.model(b_obs, requires_grad=True)
             dist = Categorical(logits=theta)
@@ -92,8 +130,13 @@ class A2C:
                 (th.as_tensor(ret) - values) ** 2).mean()
             value_loss.backward()
             self.model.step()
+            if mirror is not None:
+                mirror.sync()
             steps += self.n_steps * self.n_envs
             it += 1
+            self.curve.append(dict(
+                steps=steps, mean_reward_100=self.mean_reward(),
+                trees=self.model.get_num_trees()))
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])
                            if self.episode_rewards else float("nan"))

@@ -25,7 +25,8 @@ class AWR:
                  gae_lambda: float = 0.95,
                  actor_updates: int = 10, critic_updates: int = 10,
                  batch_size: int = 512, buffer_size: int = 50000,
-                 log_std_init: float = -0.5,
+                 log_std_init: float = -0.5, learn_std: bool = False,
+                 max_actor_grad_norm: float = 10.0,
                  feature_weights=None,
                  log_interval: int = 0, device: str = "tpu",
                  jit_update: bool = True):
@@ -41,12 +42,20 @@ class AWR:
                                      generator_type="Quantile"))
         if feature_weights is not None:
             params["feature_weights"] = feature_weights
+        # fixed std by default: the weighted log-prob regression is
+        # unstable in std (matching high-weight actions drives std -> 0,
+        # exploding (a-mu)/std^2 gradients -> NaN policies); the reference
+        # GaussianActor supports the same fixed-std mode (actor.py:359)
+        std_opt = {"std_algo": "SGD", "std_lr": actor_lr * 0.1,
+                   "start_idx": act_dim, "stop_idx": 2 * act_dim} \
+            if learn_std else None
+        self.learn_std = learn_std
         self.actor = GaussianActor(
-            tree_struct=tree_struct, input_dim=obs_dim, output_dim=2 * act_dim,
+            tree_struct=tree_struct, input_dim=obs_dim,
+            output_dim=2 * act_dim if learn_std else act_dim,
             mu_optimizer={"mu_algo": "SGD", "mu_lr": actor_lr,
                           "start_idx": 0, "stop_idx": act_dim},
-            std_optimizer={"std_algo": "SGD", "std_lr": actor_lr * 0.1,
-                           "start_idx": act_dim, "stop_idx": 2 * act_dim},
+            std_optimizer=std_opt,
             log_std_init=log_std_init, params=params, device=device)
         self.critic = GBTModel(
             tree_struct=tree_struct, input_dim=obs_dim, output_dim=1,
@@ -54,6 +63,7 @@ class AWR:
                         "stop_idx": 1}, params=params, device=device)
         self.beta = beta
         self.max_weight = max_weight
+        self.max_actor_grad_norm = max_actor_grad_norm
         self.n_steps = n_steps
         self.gamma = gamma
         self.gae_lambda = gae_lambda
@@ -94,7 +104,9 @@ class AWR:
             # batches (see rl/ppo.py _sample_np)
             theta = m[0].predict(np.asarray(obs, dtype=np.float32))
             A = self.act_dim
-            mu, log_std = theta[:, :A], theta[:, A:]
+            mu = theta[:, :A]
+            log_std = np.clip(theta[:, A:], -2.5, 0.5) if self.learn_std \
+                else np.full_like(mu, self.actor.log_std_init)
             return mu + np.exp(log_std) * rng.standard_normal(
                 mu.shape).astype(np.float32)
         mu, log_std = self.actor(obs, requires_grad=False)
@@ -117,7 +129,7 @@ class AWR:
         and the following step() call resets that env ignoring the action —
         that row is recorded with valid=0 and excluded from training."""
         E = self.n_envs
-        O, A, R, Term, Trunc, FinalV, Valid = [], [], [], [], [], [], []
+        O, NO, A, R, Term, Trunc, Valid = [], [], [], [], [], [], []
         prev_done = self._prev_done
         for _ in range(self.n_steps // E):
             a = self._act(obs, rng)
@@ -126,16 +138,9 @@ class AWR:
             a_clip = np.clip(a, low, high)
             next_obs, rew, term, trunc, _ = self.env.step(a_clip)
             done = np.logical_or(term, trunc)
-            # truncated episodes bootstrap from the final observation
-            # (which IS next_obs under NextStep autoreset)
-            fv = np.zeros(E, dtype=np.float32)
-            tr_only = np.logical_and(trunc, ~term)
-            if tr_only.any():
-                fv[tr_only] = self._values(next_obs[tr_only])
-            O.append(obs); A.append(a_clip); R.append(rew)
+            O.append(obs); NO.append(next_obs); A.append(a_clip); R.append(rew)
             Term.append(term.astype(np.float32))
             Trunc.append(trunc.astype(np.float32))
-            FinalV.append(fv)
             Valid.append(1.0 - prev_done.astype(np.float32))
             rew_eff = np.where(prev_done, 0.0, rew)
             self._ep_ret += rew_eff
@@ -146,39 +151,45 @@ class AWR:
             prev_done = done
             obs = next_obs
         self._prev_done = prev_done
-        return (np.asarray(O, dtype=np.float32), np.asarray(A, np.float32),
+        return (np.asarray(O, dtype=np.float32),
+                np.asarray(NO, dtype=np.float32),
+                np.asarray(A, np.float32),
                 np.asarray(R, np.float32), np.asarray(Term, np.float32),
                 np.asarray(Trunc, np.float32),
-                np.asarray(FinalV, np.float32),
                 np.asarray(Valid, np.float32), obs)
 
-    def _td_lambda(self, O, R, Term, Trunc, FinalV, last_obs):
-        """TD(lambda) advantages + targets (AWR paper section 4 / GAE):
-        delta_t = r_t + gamma * V(s_{t+1}) * cont - V(s_t);
-        adv = GAE(lambda); target = adv + V(s_t).
+    def _recompute_replay(self):
+        """TD(lambda) advantages + value targets over the WHOLE replay with
+        the CURRENT critic (AWR paper Algorithm 1 recomputes both every
+        iteration; stale advantages from an old critic rank samples by
+        critic drift instead of action quality).
 
-        Terminations cut the chain; truncations bootstrap with
-        V(final_obs) (time-limit-aware, under NextStep autoreset the final
-        observation is the obs delivered with the done flag).  lambda < 1
-        is what makes AWR workable here: the lambda=1 MC-return-minus-V
-        advantage is dominated by critic error (~episode-return scale)
-        rather than per-action signal, and the exponential weights then
-        rank samples by critic noise."""
-        T, E = R.shape
-        v = self._values(O.reshape(T * E, -1)).reshape(T, E)
-        v_next = np.empty_like(v)
-        v_next[:-1] = v[1:]
-        v_next[-1] = self._values(last_obs)
-        adv = np.zeros_like(R)
-        gae = np.zeros(E, dtype=np.float32)
-        for t in reversed(range(T)):
-            done = np.maximum(Term[t], Trunc[t])
-            boot = (1.0 - done) * v_next[t] + Trunc[t] * (1 - Term[t]) \
-                * FinalV[t]
-            delta = R[t] + self.gamma * boot - v[t]
-            gae = delta + self.gamma * self.gae_lambda * (1.0 - done) * gae
-            adv[t] = gae
-        return adv, adv + v
+        Per transition: delta = r + gamma * (1 - term) * V(s') - V(s)
+        (truncations bootstrap through V(s'), which IS the final
+        observation under NextStep autoreset; terminations cut), then
+        GAE(lambda) chained within each chunk, target = adv + V(s).
+        Served by the host mirror: ~us/sample, so a 50k-row replay
+        recomputes in milliseconds."""
+        obs_l, act_l, ret_l, adv_l = [], [], [], []
+        for (O, NO, A, R, Term, Trunc, Valid) in self._replay:
+            T, E = R.shape
+            v = self._values(O.reshape(T * E, -1)).reshape(T, E)
+            vn = self._values(NO.reshape(T * E, -1)).reshape(T, E)
+            delta = R + self.gamma * (1.0 - Term) * vn - v
+            adv = np.zeros_like(R)
+            gae = np.zeros(E, dtype=np.float32)
+            done = np.maximum(Term, Trunc)
+            for t in reversed(range(T)):
+                gae = delta[t] + self.gamma * self.gae_lambda \
+                    * (1.0 - done[t]) * gae
+                adv[t] = gae
+            keep = Valid.reshape(-1) > 0.5
+            obs_l.append(O.reshape(T * E, -1)[keep])
+            act_l.append(A.reshape(T * E, -1)[keep])
+            ret_l.append((adv + v).reshape(-1)[keep])
+            adv_l.append(adv.reshape(-1)[keep])
+        return (np.concatenate(obs_l), np.concatenate(act_l),
+                np.concatenate(ret_l), np.concatenate(adv_l))
 
     def learn(self, total_timesteps: int, seed: int = 0):
         rng = np.random.default_rng(seed)
@@ -196,21 +207,19 @@ class AWR:
                 lr.ens, int(lr.ens.n_trees) + iters_planned * per_iter)
         steps, it = 0, 0
         while steps < total_timesteps:
-            O, A, R, Term, Trunc, FinalV, Valid, obs = self._rollout(obs, rng)
-            adv, ret = self._td_lambda(O, R, Term, Trunc, FinalV, obs)
-            keep = Valid.reshape(-1) > 0.5
-            flat_obs = O.reshape(len(keep), -1)[keep]
-            flat_act = A.reshape(len(keep), -1)[keep]
-            flat_ret = ret.reshape(-1)[keep]
-            flat_adv = adv.reshape(-1)[keep]
-            self._replay.append((flat_obs, flat_act, flat_ret, flat_adv))
-            total = sum(len(x[0]) for x in self._replay)
+            chunk = self._rollout(obs, rng)
+            obs = chunk[-1]
+            self._replay.append(chunk[:-1])
+            total = sum(x[3].size for x in self._replay)
             while total > self.buffer_size and len(self._replay) > 1:
-                total -= len(self._replay.pop(0)[0])
-            r_obs = np.concatenate([x[0] for x in self._replay])
-            r_act = np.concatenate([x[1] for x in self._replay])
-            r_ret = np.concatenate([x[2] for x in self._replay])
-            r_adv = np.concatenate([x[3] for x in self._replay])
+                total -= self._replay.pop(0)[3].size
+            if it == 0:
+                # jump the critic to the return scale immediately
+                # (reference GBTModel.set_bias_from_targets, gbt.py:130-148)
+                _, _, ret0, _ = self._recompute_replay()
+                self.critic.set_bias_from_targets(ret0.reshape(-1, 1))
+                self._sync_mirrors()
+            r_obs, r_act, r_ret, r_adv = self._recompute_replay()
 
             if self.jit_update and self.actor.learner.vocab is None:
                 # fused device loop: all critic + actor boosting steps of
@@ -249,11 +258,18 @@ class AWR:
                 w = np.exp(np.minimum(adv / self.beta,
                                       np.log(self.max_weight)))
                 mu, log_std = self.actor(r_obs[mb], requires_grad=True)
-                dist = Normal(mu, th.exp(log_std))
-                logp = dist.log_prob(th.as_tensor(r_act[mb])).sum(-1)
-                loss = -(th.as_tensor(w, dtype=th.float32) * logp).mean()
+                wt = th.as_tensor(w, dtype=th.float32)
+                at = th.as_tensor(r_act[mb])
+                # sigma^2-free weighted regression for mu (see rl/jit_awr.py)
+                loss = (wt * 0.5 * ((at - mu) ** 2).sum(-1)).mean()
+                if self.learn_std:
+                    log_std = th.clamp(log_std, -2.5, 0.5)
+                    z = (at - mu.detach()) / th.exp(log_std)
+                    loss = loss + (wt * (log_std
+                                         + 0.5 * z ** 2).sum(-1)).mean()
                 loss.backward()
-                self.actor.step()
+                gc = self.max_actor_grad_norm or None
+                self.actor.step(mu_grad_clip=gc, log_std_grad_clip=gc)
 
             self._sync_mirrors()
             steps += self.n_steps

@@ -28,6 +28,9 @@ class AWRHyper(NamedTuple):
     act_dim: int
     beta: float
     max_weight: float
+    learn_std: bool = True
+    log_std_init: float = -0.5
+    grad_clip: float = 10.0   # per-sample L2 clip of actor grads (0 = off)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
@@ -78,14 +81,35 @@ def awr_update_loop(acfg: TreeConfig, ccfg: TreeConfig, hp: AWRHyper,
         theta = predict_sgd(acfg, ens, Xmb, actor_specs, 0, ens.capacity)
 
         def loss_fn(th_):
-            mu, log_std = th_[:, :A], th_[:, A:]
-            std = jnp.exp(log_std)
-            logp = jnp.sum(-0.5 * ((a - mu) / std) ** 2 - log_std
-                           - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1)
-            return -jnp.mean(w * logp)
+            # mu: sigma^2-FREE weighted regression (the official AWR
+            # implementation's actor loss, arXiv:1910.00177 code):
+            # 0.5 * w * ||a - mu||^2.  Dividing by sigma^2 (the raw
+            # log-prob gradient) makes the effective boosting step
+            # lr * w / sigma^2 > 2 for high-weight leaves -> oscillating
+            # divergence (observed: mu -> 121 -> NaN policies).
+            mu = th_[:, :A]
+            loss = jnp.mean(w * 0.5 * jnp.sum((a - mu) ** 2, axis=-1))
+            if hp.learn_std:
+                # sigma: weighted Gaussian MLE with mu stopped; log_std
+                # CLAMPED to [-2.5, 0.5] (clip gradient is zero outside, so
+                # a collapsing sigma cannot blow up z^2 -> NaN)
+                log_std = jnp.clip(th_[:, A:], -2.5, 0.5)
+                z = (a - jax.lax.stop_gradient(mu)) / jnp.exp(log_std)
+                loss = loss + jnp.mean(
+                    w * jnp.sum(log_std + 0.5 * z ** 2, axis=-1))
+            return loss
 
         loss, g = jax.value_and_grad(loss_fn)(theta)
-        ens = _boost(acfg, ens, Xmb, g * mb, feat_w)
+        g = g * mb
+        if hp.grad_clip:
+            # per-sample L2 clip (reference clip_grad_norm semantics,
+            # gbrl/common/utils.py:270-295): bounds the leaf updates so a
+            # region whose mu drifted large cannot inject huge corrections
+            # into neighbouring leaves (observed exponential mu ping-pong
+            # across routing boundaries without it)
+            norms = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+            g = g * jnp.minimum(1.0, hp.grad_clip / (norms + 1e-8))
+        ens = _boost(acfg, ens, Xmb, g, feat_w)
         return ens, trace.at[k].set(loss)
 
     atrace0 = jnp.zeros((max(Ka, 1),), dtype=jnp.float32)
@@ -127,7 +151,10 @@ def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
     critic_lr.ens = ensure_capacity(critic_lr.ens,
                                     int(critic_lr.ens.n_trees) + Kc)
     hp = AWRHyper(act_dim=algo.act_dim, beta=algo.beta,
-                  max_weight=algo.max_weight)
+                  max_weight=algo.max_weight,
+                  learn_std=getattr(algo, "learn_std", True),
+                  log_std_init=algo.actor.log_std_init,
+                  grad_clip=getattr(algo, "max_actor_grad_norm", 10.0))
     specs = (actor_lr.specs, critic_lr.specs)
     actor_lr.ens, critic_lr.ens, _ = awr_update_loop(
         actor_lr.cfg, critic_lr.cfg, hp, specs, (Kc, Ka),

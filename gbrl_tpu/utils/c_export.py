@@ -262,6 +262,15 @@ def export_ensemble_header(cfg: TreeConfig, ens: Ensemble, filename: str,
         offs = [0]
         flat: List[bytes] = []
         for tab in tables:
+            for entry in tab:
+                if b"\x00" in entry:
+                    # the emitted encoder compares NUL-terminated C strings;
+                    # an embedded NUL would truncate the comparison and
+                    # silently encode to the wrong code
+                    raise ValueError(
+                        "categorical vocabulary entry contains an embedded "
+                        f"NUL byte and cannot be exported as a C string "
+                        f"literal: {entry!r}")
             flat.extend(tab)
             offs.append(len(flat))
         h.append("")

@@ -60,6 +60,13 @@ class CompiledModel:
         cxx = shutil.which("g++") or shutil.which("cc")
         if cxx is None:
             raise RuntimeError("no C compiler available")
+        if getattr(learner.cfg, "n_cat_features", 0) > 0:
+            # the exported header's predict for categorical models takes an
+            # extra cat_features argument the batch wrapper doesn't pass
+            raise ValueError(
+                "CompiledModel.from_learner supports numeric-feature models "
+                "only (this learner has categorical features; use "
+                "export_ensemble_header + the 3-argument predict directly)")
         wd = tempfile.TemporaryDirectory(prefix="gbrl_native_")
         header = os.path.join(wd.name, f"{name}.h")
         learner.export(header, name, export_format="float")
@@ -68,8 +75,12 @@ class CompiledModel:
             f.write(_WRAPPER.format(header=header, name=name,
                                     name_up=name.upper()))
         so = os.path.join(wd.name, f"{name}.so")
-        subprocess.run([cxx, "-O3", "-shared", "-fPIC", src, "-o", so],
-                       check=True, capture_output=True)
+        proc = subprocess.run([cxx, "-O3", "-shared", "-fPIC", src, "-o", so],
+                              capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native compile failed (exit {proc.returncode}):\n"
+                f"{proc.stderr.decode(errors='replace')[-2000:]}")
         return cls(so, learner.cfg.n_num_features, learner.output_dim,
                    name, workdir=wd)
 

@@ -147,9 +147,8 @@ class HostMirror:
     """
 
     def __init__(self, learner):
-        assert all(s.algo == "SGD" for s in learner.specs), \
-            "HostMirror supports SGD optimizers (Adam predict is sequential)"
         self.learner = learner
+        self.has_adam = any(s.algo == "Adam" for s in learner.specs)
         cfg = learner.cfg
         self.D = cfg.max_depth
         self.P = (1 << self.D) - 1
@@ -169,18 +168,21 @@ class HostMirror:
         self.isnum = np.ones((cap, self.P), dtype=np.uint8)
         self.code = np.full((cap, self.P), -1, dtype=np.int32)
         self.wleaf = np.zeros((cap, self.L, self.O), dtype=np.float32)
+        self.raw_leaf = (np.zeros((cap, self.L, self.O), dtype=np.float32)
+                         if getattr(self, "has_adam", False) else None)
 
     def _grow(self, need: int):
         cap = self.cap
         while cap < need:
             cap *= 2
         old = (self.feat, self.thr, self.split, self.isnum, self.code,
-               self.wleaf)
+               self.wleaf, self.raw_leaf)
         n = self.n_synced
         self._alloc(cap)
         for new, o in zip((self.feat, self.thr, self.split, self.isnum,
-                           self.code, self.wleaf), old):
-            new[:n] = o[:n]
+                           self.code, self.wleaf, self.raw_leaf), old):
+            if new is not None:
+                new[:n] = o[:n]
 
     def sync(self) -> int:
         """Pull trees [n_synced, n_trees) + bias from the device ensemble.
@@ -200,8 +202,11 @@ class HostMirror:
                 ens.is_numeric[a:n])[:, :self.P].astype(np.uint8)
             self.code[a:n] = np.asarray(ens.cat_code[a:n])[:, :self.P]
             lv = np.asarray(ens.leaf_values[a:n])
-            coeff = _host_sgd_coeff(self.learner.specs, a, n, self.O)
+            sgd_specs = [s for s in self.learner.specs if s.algo == "SGD"]
+            coeff = _host_sgd_coeff(sgd_specs, a, n, self.O)
             self.wleaf[a:n] = lv * coeff[:, None, :]
+            if self.raw_leaf is not None:
+                self.raw_leaf[a:n] = lv
             self.n_synced = n
         return n - a
 
@@ -215,6 +220,8 @@ class HostMirror:
             X = X.reshape(1, -1)
         N, F = X.shape
         T = self.n_synced
+        if self.has_adam:
+            return self._predict_numpy(X, Xc)
         out = np.empty((N, self.O), dtype=np.float32)
         lib = _load_lib()
         if lib is not None:
@@ -245,6 +252,9 @@ class HostMirror:
         T = self.n_synced
         if T == 0:
             return np.broadcast_to(self.bias, (N, self.O)).copy()
+        X = np.ascontiguousarray(X, dtype=np.float32)
+        if X.ndim == 1:
+            X = X.reshape(1, -1)
         rel = np.zeros((N, T), dtype=np.int64)
         tidx = np.arange(T)
         for d in range(self.D):
@@ -266,4 +276,44 @@ class HostMirror:
             sel = w[tset:te][np.arange(te - tset)[None, :],
                              rel[:, tset:te]]      # [N, C, O]
             out += sel.sum(axis=1)
+        if self.has_adam:
+            out -= self._adam_delta(rel)
+        return out
+
+    def _adam_delta(self, rel: np.ndarray) -> np.ndarray:
+        """Accumulated Adam update over each Adam optimizer's columns,
+        [N, O] (host replica of optimizers.adam_delta, matching the
+        reference recurrence optimizer.cpp:260-283 with
+        alpha_t = lr(t) * sqrt(1-b2^(t+1)) / (1-b1^(t+1)) and zero-
+        initialized per-call m/v).  Vectorized over samples; sequential
+        over trees (A2C-scale ensembles: one tree per rollout)."""
+        N, T = rel.shape
+        out = np.zeros((N, self.O), dtype=np.float32)
+        if T == 0:
+            return out
+        g_all = self.raw_leaf[:T][np.arange(T)[None, :], rel]  # [N, T, O]
+        t = np.arange(T, dtype=np.float32)
+        for spec in self.learner.specs:
+            if spec.algo != "Adam":
+                continue
+            if spec.scheduler == "Linear":
+                frac = np.minimum(t / np.float32(max(spec.T, 1)), 1.0)
+                lr = spec.init_lr + (spec.stop_lr - spec.init_lr) * frac
+                lr = np.maximum(lr, min(spec.init_lr, spec.stop_lr))
+            else:
+                lr = np.full_like(t, spec.init_lr)
+            b1, b2, eps = spec.beta_1, spec.beta_2, spec.eps
+            alpha = lr * np.sqrt(1.0 - b2 ** (t + 1)) / (1.0 - b1 ** (t + 1))
+            stop = spec.stop_idx or self.O
+            cols = slice(spec.start_idx, stop)
+            g = g_all[:, :, cols]
+            m = np.zeros((N, g.shape[2]), dtype=np.float32)
+            v = np.zeros_like(m)
+            acc = np.zeros_like(m)
+            for k in range(T):
+                gk = g[:, k]
+                m = b1 * m + (1.0 - b1) * gk
+                v = b2 * v + (1.0 - b2) * gk * gk
+                acc += alpha[k] * m / (np.sqrt(v) + eps)
+            out[:, cols] = acc
         return out

@@ -55,12 +55,44 @@ def main(out_path: str) -> None:
     for _ in range(2):
         ens = hosts.host_boost_step(cfg, mesh, ens, X[lo:hi], g[lo:hi], fw)
 
+    # PPO update phase from per-host rollout shards (hosts.host_ppo_update):
+    # a deterministic synthetic rollout, global minibatch plan drawn with
+    # the same seed on both hosts (the documented contract)
+    from gbrl_tpu.rl.jit_update import PPOHyper
+    pcfg = TreeConfig(input_dim=F, output_dim=3, n_num_features=F,
+                      max_depth=3, n_bins=8, grow_policy="greedy",
+                      split_score_func="cosine")
+    pspecs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=2),
+              OptimizerSpec(algo="SGD", init_lr=0.02, start_idx=2,
+                            stop_idx=3))
+    hp = PPOHyper(n_actions=2, clip_range=0.2, ent_coef=0.01, vf_coef=0.5,
+                  normalize_advantage=True, policy_clip=0.0, value_clip=0.0)
+    prng = np.random.default_rng(11)          # identical on both hosts
+    B, U, mb = 256, 6, 64
+    Xr = prng.normal(size=(B, F)).astype(np.float32)
+    acts = prng.integers(0, 2, B).astype(np.int32)
+    old_logp = np.log(0.5) * np.ones(B, dtype=np.float32)
+    adv = prng.normal(size=B).astype(np.float32)
+    ret = prng.normal(size=B).astype(np.float32)
+    mb_idx = prng.integers(0, B, (U, mb)).astype(np.int32)
+    mb_n = np.full(U, mb, dtype=np.int32)
+    plo, phi = pid * (B // nproc), (pid + 1) * (B // nproc)
+    pens = hosts.replicate(mesh, init_ensemble(pcfg, capacity=8))
+    pfw = hosts.replicate(mesh, np.ones(F, dtype=np.float32))
+    pens, _ = hosts.host_ppo_update(
+        pcfg, hp, mesh, pens, Xr[plo:phi], mb_idx, mb_n, acts[plo:phi],
+        old_logp[plo:phi], adv[plo:phi], ret[plo:phi], pspecs, pfw)
+
     np.savez(out_path,
              feat=np.asarray(ens.feat), thr=np.asarray(ens.thr),
              is_split=np.asarray(ens.is_split),
              leaf_values=np.asarray(ens.leaf_values),
              n_trees=np.asarray(ens.n_trees),
-             losses=np.array(losses, dtype=np.float64))
+             losses=np.array(losses, dtype=np.float64),
+             ppo_feat=np.asarray(pens.feat), ppo_thr=np.asarray(pens.thr),
+             ppo_is_split=np.asarray(pens.is_split),
+             ppo_leaf_values=np.asarray(pens.leaf_values),
+             ppo_n_trees=np.asarray(pens.n_trees))
     hosts.shutdown()
 
 

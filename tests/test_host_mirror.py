@@ -81,7 +81,7 @@ def test_mirror_numpy_fallback_matches_c():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_mirror_rejects_adam():
+def test_mirror_adam_construction():
     learner = GBTLearner(
         input_dim=4, output_dim=1,
         tree_struct=dict(max_depth=2, n_bins=8, min_data_in_leaf=0,
@@ -90,5 +90,28 @@ def test_mirror_rejects_adam():
         params=dict(split_score_func="cosine", generator_type="Quantile"),
         device="cpu")
     learner.reset()
-    with pytest.raises(AssertionError):
-        HostMirror(learner)
+    m = HostMirror(learner)        # Adam is supported (numpy recurrence)
+    assert m.has_adam and m.raw_leaf is not None
+
+
+def test_mirror_adam_matches_device_predict():
+    """Adam predict parity: the host mirror's sequential m/v recurrence must
+    match the device's closed-form chunked evaluation
+    (optimizers.adam_delta; reference optimizer.cpp:260-283)."""
+    rng = np.random.default_rng(9)
+    learner = GBTLearner(
+        input_dim=6, output_dim=3,
+        tree_struct=dict(max_depth=3, n_bins=16, min_data_in_leaf=0,
+                         par_th=2, grow_policy="oblivious"),
+        optimizers=[dict(algo="Adam", lr=0.05, start_idx=0, stop_idx=2),
+                    dict(algo="SGD", lr=0.02, start_idx=2, stop_idx=3)],
+        params=dict(split_score_func="cosine", generator_type="Quantile"),
+        device="cpu")
+    learner.reset()
+    learner.set_feature_mapping(np.ones(6, dtype=bool))
+    X = _fit_some(learner, rng, n=15)
+    mirror = HostMirror(learner)
+    want = learner.predict(X[:24], requires_grad=False, tensor=False)
+    got = mirror.predict(X[:24])
+    np.testing.assert_allclose(got, want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-5)

@@ -111,3 +111,17 @@ def test_hosts_match_single_process_mesh(worker_outputs):
     np.testing.assert_allclose(a["leaf_values"], np.asarray(ens.leaf_values),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(a["losses"], losses, rtol=1e-5, atol=1e-6)
+
+
+def test_host_ppo_update_bit_identical(worker_outputs):
+    """hosts.host_ppo_update from per-host rollout shards: the full PPO
+    update phase (6 minibatch trees, 2 optimizers, normalized advantages)
+    must leave a bit-identical replicated ensemble on both processes
+    (ROADMAP multi-host RL item; the contract documented in
+    parallel/hosts.py:host_ppo_update)."""
+    a, b = worker_outputs
+    assert int(a["ppo_n_trees"]) == int(b["ppo_n_trees"]) == 6
+    np.testing.assert_array_equal(a["ppo_feat"], b["ppo_feat"])
+    np.testing.assert_array_equal(a["ppo_thr"], b["ppo_thr"])
+    np.testing.assert_array_equal(a["ppo_is_split"], b["ppo_is_split"])
+    np.testing.assert_array_equal(a["ppo_leaf_values"], b["ppo_leaf_values"])
