@@ -1,22 +1,33 @@
 """Benchmark: boosting throughput (trees fit per second) on the default
 JAX device (TPU under the driver; CPU as fallback).
 
-Config mirrors the reference's RL hot path: per iteration, a FULL ensemble
-predict (0..n_trees, no incremental shortcut) + MultiRMSE grads + quantile
-candidate generation + one greedy cosine tree (depth 4, 256 bins) on a
-4096x16 batch with a 3-dim output (2 policy + 1 value) — the PPO shared
-actor-critic shape.  The iterations run device-resident inside one jit
-(lax.fori_loop), exactly like the shipped update paths (ops/boosting.fit_loop,
-rl/jit_update.ppo_update_loop); the reference's equivalent loop re-enters
-C++ per call.
+Primary metric: the SHIPPED supervised fit path (ops/boosting.fit_loop —
+the same incremental-predict structure the RL update loops use): per
+iteration, MultiRMSE grads from incrementally-maintained predictions + one
+greedy cosine tree (depth 4, 256 bins) on a 4096x16 batch with a 3-dim
+output (2 policy + 1 value) — the PPO shared actor-critic shape.
+Candidates are generated once per dataset (the product semantics;
+fitter.cpp re-sorts per iteration).
+
+``extra.fullpredict_trees_per_s`` keeps the harsher reference-semantics
+loop (a FULL ensemble predict 0..n_trees every iteration, matching the
+reference's O(iters^2) fit_cpu re-predict, fitter.cpp:191).
+
+Timing is FETCH-based (a host transfer of the result closes every timed
+region): through a tunneled TPU, ``block_until_ready`` can return before
+the device work completes, and each program call carries ~40-50ms of
+tunnel overhead — so the loop runs many iterations per program and
+``extra.device_us_per_tree`` additionally reports the on-device time from
+an xprof trace (robust to host/tunnel overhead).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline`` compares against the reference C++ build's measured
 trees-fit/s stored in BASELINE_REF.json (created by bench_reference/run.sh).
-``extra`` carries secondary metrics: the oblivious-policy rate, predict-only
-latency, per-step device-time decomposition targets, an MFU estimate for
-the histogram contraction, and (on TPU) compiled-Pallas vs XLA parity
-residuals (bench.py --verify runs only that check).
+``extra`` also carries: the oblivious-policy rate, marginal predict
+latency, the histogram-stage achieved-HBM-bandwidth + MFU context (this
+shape is LATENCY-bound on device, far from both roofs), and (on TPU)
+compiled-Pallas vs XLA parity residuals (bench.py --verify runs only that
+check).
 """
 import json
 import os
@@ -35,8 +46,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 N, F, O = 4096, 16, 3
-ITERS = 100
-WARMUP = 2
+ITERS = 400
+WARMUP = 1
 
 
 def _cfg(policy="greedy"):
@@ -55,8 +66,15 @@ def _data():
     return X, y
 
 
+def _fetch(x):
+    """Force completion + host round trip (see module docstring)."""
+    import jax
+    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
 def _loop_fn(cfg, specs, iters):
-    """One jit program fitting ``iters`` trees: full predict each iter."""
+    """One jit program fitting ``iters`` trees: full predict each iter
+    (reference fit_cpu semantics, fitter.cpp:191)."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -72,8 +90,43 @@ def _loop_fn(cfg, specs, iters):
     return run
 
 
-def bench_policy(policy):
+def bench_policy(policy, trace_dir=None):
+    """Trees/s of the SHIPPED supervised fit path (ops/boosting.fit_loop:
+    incremental predictions, candidates once)."""
     import jax
+    import jax.numpy as jnp
+    from gbrl_tpu.ensemble import init_ensemble
+    from gbrl_tpu.ops.boosting import fit_loop
+    from gbrl_tpu.optimizers import OptimizerSpec
+
+    cfg = _cfg(policy)
+    X, y = _data()
+    fw = jnp.ones(F, dtype=jnp.float32)
+    specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=O),)
+    cap = 1 << ((WARMUP + 1) * ITERS - 1).bit_length()
+
+    def run(ens):
+        ens, loss, _ = fit_loop(cfg, ITERS, ens, X, y, jnp.int32(N), specs,
+                                fw, None, None, 0)
+        return ens
+
+    ens = init_ensemble(cfg, capacity=cap)
+    for _ in range(WARMUP):
+        ens = run(ens)
+    _fetch(ens.leaf_values)
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+    t0 = time.perf_counter()
+    ens = run(ens)
+    _fetch(ens.leaf_values)
+    dt = time.perf_counter() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+    return ITERS / dt
+
+
+def bench_policy_fullpredict(policy):
+    """Reference-semantics loop: full re-predict every iteration."""
     import jax.numpy as jnp
     from gbrl_tpu.ensemble import init_ensemble
     from gbrl_tpu.optimizers import OptimizerSpec
@@ -82,17 +135,46 @@ def bench_policy(policy):
     X, y = _data()
     fw = jnp.ones(F, dtype=jnp.float32)
     specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=O),)
-    run = _loop_fn(cfg, specs, ITERS)
-    cap = 1 << (WARMUP * ITERS + ITERS - 1).bit_length()
+    iters = 100
+    run = _loop_fn(cfg, specs, iters)
+    cap = 1 << (3 * iters - 1).bit_length()
     ens = init_ensemble(cfg, capacity=cap)
-    for _ in range(WARMUP):
-        ens = run(ens, X, y, ITERS, fw)
-    jax.block_until_ready(ens.feat)
+    for _ in range(2):
+        ens = run(ens, X, y, iters, fw)
+    _fetch(ens.leaf_values)
     t0 = time.perf_counter()
-    ens = run(ens, X, y, ITERS, fw)
-    jax.block_until_ready(ens.feat)
-    dt = time.perf_counter() - t0
-    return ITERS / dt
+    ens = run(ens, X, y, iters, fw)
+    _fetch(ens.leaf_values)
+    return iters / (time.perf_counter() - t0)
+
+
+def device_us_per_tree(trace_dir):
+    """On-device time per fitted tree, parsed from the xprof trace that
+    bench_policy captured (the 'jit_' program lane on the TPU device).
+    Returns None if no trace/device lane is found."""
+    import glob
+    import gzip
+
+    try:
+        files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not files:
+            return None
+        with gzip.open(sorted(files)[-1]) as f:
+            d = json.load(f)
+        ev = d.get("traceEvents", [])
+        pids = {e["pid"]: e["args"].get("name", "")
+                for e in ev if e.get("ph") == "M"
+                and e.get("name") == "process_name"}
+        total = 0.0
+        for e in ev:
+            if (e.get("ph") == "X" and "dur" in e
+                    and "TPU" in pids.get(e["pid"], "")
+                    and e["name"].startswith("jit_")):
+                total += e["dur"]
+        return (total / ITERS) if total else None
+    except Exception:
+        return None
 
 
 def bench_predict():
@@ -121,11 +203,42 @@ def bench_predict():
             return acc + predict_sgd(cfg, e, X, specs, 0, e.n_trees)[0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    pred_loop(ens, 10).block_until_ready()
+    _fetch(pred_loop(ens, 100))
     t0 = time.perf_counter()
-    pred_loop(ens, 200).block_until_ready()
-    ms = (time.perf_counter() - t0) / 200 * 1e3
+    _fetch(pred_loop(ens, 1000))
+    t1000 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _fetch(pred_loop(ens, 100))
+    t100 = time.perf_counter() - t0
+    # marginal per-predict cost net of the fixed per-program tunnel cost
+    ms = max((t1000 - t100) / 900, 1e-9) * 1e3
     return ms
+
+
+def hbm_context(device_us):
+    """Roofline context for one fit iteration: modeled HBM bytes moved vs
+    the measured on-device time.  Per tree: 4 level-histogram rounds (read
+    bucketized X [N, F] i32 + node-expanded grads [N, C_d] f32, write+read
+    [F, C_d, 257] f32 histograms, C_d = 4*2^d), the fused score kernel
+    (VMEM-resident), partition updates, and the incremental single-tree
+    predict.  The point of this number: the bench shape is LATENCY-bound —
+    achieved bandwidth is a few % of the ~819 GB/s v5e HBM roof and the
+    MFU a few % of the MXU roof, because 4096x16 simply doesn't generate
+    enough bytes/FLOPs per kernel; both roofs sit orders of magnitude
+    above the measured rate, so neither is the binding constraint."""
+    if not device_us:
+        return None
+    bytes_levels = 0
+    for d in range(4):
+        C = 4 * (1 << d)
+        bytes_levels += N * F * 4 + N * C * 4 + 2 * F * C * 257 * 4
+    bytes_pred = N * F * 4 + N * 4 * 4            # tree walk + leaf add
+    total = bytes_levels + bytes_pred
+    gbps = total / (device_us * 1e-6) / 1e9
+    return {"modeled_bytes_per_iter": total,
+            "achieved_GBps": round(gbps, 1),
+            "hbm_peak_GBps": 819,
+            "hbm_fraction": round(gbps / 819, 4)}
 
 
 def mfu_estimate(trees_per_s):
@@ -226,12 +339,19 @@ def main():
         print(json.dumps(parity))
         return
 
+    import tempfile
+    trace_dir = tempfile.mkdtemp(prefix="gbrl_bench_trace_")
     t0 = time.time()
-    greedy = bench_policy("greedy")
+    greedy = bench_policy("greedy", trace_dir=trace_dir)
     _log(f"greedy done ({time.time()-t0:.0f}s): {greedy:.0f} trees/s")
+    dev_us = device_us_per_tree(trace_dir)
+    _log(f"device time: {dev_us and round(dev_us, 1)} us/tree")
     t0 = time.time()
     oblivious = bench_policy("oblivious")
     _log(f"oblivious done ({time.time()-t0:.0f}s): {oblivious:.0f} trees/s")
+    t0 = time.time()
+    fullpred = bench_policy_fullpredict("greedy")
+    _log(f"fullpredict done ({time.time()-t0:.0f}s): {fullpred:.0f} trees/s")
     t0 = time.time()
     pred_ms = bench_predict()
     _log(f"predict done ({time.time()-t0:.0f}s): {pred_ms:.3f} ms")
@@ -245,14 +365,19 @@ def main():
 
     print(json.dumps({
         "metric": "trees-fit/s (greedy cosine d4 b256, N=4096xF16xO3, "
-                  "incl. full predict/iter, device-resident loop)",
+                  "shipped fit_loop: incremental predict, candidates once; "
+                  "fetch-timed wall incl. tunnel overhead)",
         "value": round(greedy, 3),
         "unit": "trees/s",
         "vs_baseline": round(greedy / baseline, 3) if baseline else 0,
         "extra": {
             "oblivious_trees_per_s": round(oblivious, 3),
-            "predict_only_ms_128trees_4096x16": round(pred_ms, 4),
+            "fullpredict_trees_per_s": round(fullpred, 3),
+            "device_us_per_tree": dev_us and round(dev_us, 2),
+            "device_trees_per_s": dev_us and round(1e6 / dev_us, 1),
+            "predict_marginal_ms_300trees_4096x16": round(pred_ms, 4),
             "histogram_mfu_at_rate": round(mfu_estimate(greedy), 4),
+            "roofline": hbm_context(dev_us),
             "parity": parity,
         },
     }))
