@@ -53,6 +53,26 @@ def main():
           f"actor trees {algo.actor.get_num_trees()}, "
           f"ep_rew_mean(100) {algo.mean_reward():.1f}")
 
+    import json
+    er = [float(r) for r in algo.episode_rewards]
+    k = max(1, len(er) // 20)
+    curve = [{"episode": i, "mean_k": float(np.mean(er[max(0, i - k):i]))}
+             for i in range(k, len(er) + 1, k)]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_sac_pendulum.json")
+    with open(out, "w") as f:
+        json.dump({
+            "config": (f"SAC twin-{args.q_func}-Q prefix-targets "
+                       f"actor_lr0.02 critic_lr0.05 batch256 train_freq4"),
+            "env": args.env, "steps": args.steps, "seed": args.seed,
+            "final_mean_reward_100": float(algo.mean_reward()),
+            "first_episodes_mean": float(np.mean(er[:k])) if er else None,
+            "actor_trees": int(algo.actor.get_num_trees()),
+            "env_steps_per_s": args.steps / dt, "wall_clock_s": dt,
+            "reward_curve": curve,
+        }, f, indent=1)
+    print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     main()
