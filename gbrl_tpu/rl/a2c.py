@@ -116,18 +116,22 @@ class A2C:
                 _, last_value = self.model(obs, requires_grad=False)
                 last_values = last_value.detach().numpy().reshape(-1)
             buffer.compute_returns(last_values, dones)
-            b_obs, b_act, _, adv, ret, _ = buffer.flat()
+            b_obs, b_act, _, adv, ret, _, valid = buffer.flat()
             theta, values = self.model(b_obs, requires_grad=True)
             dist = Categorical(logits=theta)
+            w = th.as_tensor(valid)
+            nw = w.sum().clamp(min=1.0)
             adv_t = th.as_tensor(adv)
             if self.normalize_advantage:
-                adv_t = (adv_t - adv_t.mean()) / (adv_t.std() + 1e-8)
+                m = (adv_t * w).sum() / nw
+                var = (w * (adv_t - m) ** 2).sum() / (nw - 1.0).clamp(min=1.0)
+                adv_t = (adv_t - m) / (var.sqrt() + 1e-8)
             log_prob = dist.log_prob(th.as_tensor(b_act))
-            policy_loss = -(adv_t * log_prob).mean()
-            entropy_loss = -dist.entropy().mean()
+            policy_loss = -(w * adv_t * log_prob).sum() / nw
+            entropy_loss = -(w * dist.entropy()).sum() / nw
             (policy_loss + self.ent_coef * entropy_loss).backward()
             value_loss = self.vf_coef * 0.5 * (
-                (th.as_tensor(ret) - values) ** 2).mean()
+                w * (th.as_tensor(ret) - values) ** 2).sum() / nw
             value_loss.backward()
             self.model.step()
             if mirror is not None:

@@ -61,12 +61,18 @@ class RolloutBuffer:
         self.pos = 0
 
     def flat(self, continuous: bool = False):
+        """Flattened rollout + a ``valid`` mask: rows where the env
+        auto-reset this step (gymnasium >=1.0 NextStep semantics: the
+        stored done flag marks the episode boundary BEFORE the row, the
+        action was ignored and the reward is 0) carry valid = 0 and must
+        not contribute to updates."""
         n = self.n_steps * self.n_envs
         acts = (self.cont_actions.reshape(n, -1) if continuous
                 else self.actions.reshape(n))
         return (self.obs.reshape(n, -1), acts,
                 self.log_probs.reshape(n), self.advantages.reshape(n),
-                self.returns.reshape(n), self.values.reshape(n))
+                self.returns.reshape(n), self.values.reshape(n),
+                1.0 - self.dones.reshape(n))
 
 
 class ReplayBuffer:

@@ -109,7 +109,9 @@ def ppo_update_loop(cfg: TreeConfig, hp: PPOHyper, n_updates: int,
                     mb_n: jax.Array, actions: jax.Array, old_logp: jax.Array,
                     adv: jax.Array, ret: jax.Array,
                     specs: Tuple[OptimizerSpec, ...],
-                    feat_w: jax.Array) -> Tuple[Ensemble, jax.Array]:
+                    feat_w: jax.Array,
+                    valid: Optional[jax.Array] = None
+                    ) -> Tuple[Ensemble, jax.Array]:
     """Run ``n_updates`` PPO minibatch boosting steps on device.
 
     X [B, F] rollout observations; mb_idx [U, mb] row indices into X (rows
@@ -130,6 +132,9 @@ def ppo_update_loop(cfg: TreeConfig, hp: PPOHyper, n_updates: int,
         idx = jax.lax.dynamic_slice(mb_idx, (u, 0), (1, mb))[0]
         n_u = mb_n[u]
         w = (jnp.arange(mb) < n_u).astype(jnp.float32)
+        if valid is not None:
+            # autoreset rows (rl/buffers.py flat()) are excluded
+            w = w * jnp.take(valid, idx)
 
         Xmb = jnp.take(X, idx, axis=0)
         pmb = jnp.take(preds_full, idx, axis=0)
@@ -166,7 +171,8 @@ def ppo_update_loop(cfg: TreeConfig, hp: PPOHyper, n_updates: int,
 def run_ppo_update(learner, obs: np.ndarray, actions: np.ndarray,
                    old_log_probs: np.ndarray, advantages: np.ndarray,
                    returns: np.ndarray, hp: PPOHyper, n_epochs: int,
-                   batch_size: int, rng) -> np.ndarray:
+                   batch_size: int, rng,
+                   valid: Optional[np.ndarray] = None) -> np.ndarray:
     """Host wrapper: build the epoch/minibatch index plan, ship the rollout
     once, run the device loop, sync once.  Updates the learner in place."""
     n = len(obs)
@@ -197,7 +203,9 @@ def run_ppo_update(learner, obs: np.ndarray, actions: np.ndarray,
         learner.cfg, hp, U, learner.ens, Xn, jnp.asarray(mb_idx),
         jnp.asarray(mb_n), jnp.asarray(actions.astype(np.int32)),
         jnp.asarray(old_log_probs), jnp.asarray(advantages),
-        jnp.asarray(returns), learner.specs, fw)
+        jnp.asarray(returns), learner.specs, fw,
+        None if valid is None
+        else jnp.asarray(valid.astype(np.float32)))
     learner.total_iterations += U
     learner._pred_cache = None
     return np.asarray(ent_trace)

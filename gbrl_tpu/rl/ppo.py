@@ -241,8 +241,8 @@ class PPO:
         O(new_trees * N) instead of O(ensemble * N) per minibatch."""
         buffers = buffer if isinstance(buffer, (list, tuple)) else [buffer]
         flats = [b.flat() for b in buffers]
-        obs, actions, old_log_probs, advantages, returns = (
-            np.concatenate([f[i] for f in flats]) for i in range(5))
+        obs, actions, old_log_probs, advantages, returns, _, valid = (
+            np.concatenate([f[i] for f in flats]) for i in range(7))
         if self._can_jit_update():
             from .jit_update import PPOHyper, run_ppo_update
             hp = PPOHyper(
@@ -253,7 +253,7 @@ class PPO:
                 value_clip=self.max_value_grad_norm or 0.0)
             run_ppo_update(self.model.learner, obs, actions, old_log_probs,
                            advantages, returns, hp, self.n_epochs,
-                           self.batch_size, rng)
+                           self.batch_size, rng, valid=valid)
             return
         n = len(obs)
         na = self.n_actions
@@ -261,6 +261,7 @@ class PPO:
             perm = rng.permutation(n)
             for start in range(0, n, self.batch_size):
                 mb = perm[start:start + self.batch_size]
+                mb = mb[valid[mb] > 0.5]      # drop autoreset rows
                 if len(mb) < 2:
                     continue
                 pol_full, val_full = self.model.learner.predict(

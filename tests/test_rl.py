@@ -18,10 +18,11 @@ def _cartpole(n=8):
 def test_ppo_cartpole_learns():
     """Fixed-seed golden band: the seed-0 run is fully deterministic on the
     CPU backend (host-mirror rollouts + numpy sampling + XLA CPU), measured
-    final mean-100 = 107.61 with checkpoints (4096: 31.3, 7680: 55.9,
-    11264: 79.8).  The +-20%% bands catch a regressed policy OR value head
-    (a broken value head still cleared the old '> 55' floor); exact values
-    are not asserted so minor XLA/numpy version drift doesn't flake."""
+    final mean-100 = 100.61 with checkpoints (4096: 28.9, 7680: 53.0,
+    11264: 74.6; autoreset rows masked from updates).  The +-20%% bands
+    catch a regressed policy OR value head (a broken value head still
+    cleared the old '> 55' floor); exact values are not asserted so minor
+    XLA/numpy version drift doesn't flake."""
     env = _cartpole()
     algo = PPO(env, n_steps=64, batch_size=256, n_epochs=4,
                policy_lr=0.17, value_lr=0.01, device="cpu")
@@ -29,12 +30,12 @@ def test_ppo_cartpole_learns():
     env.close()
     assert algo.model.get_num_trees() == 240
     r = algo.mean_reward()
-    assert 86 < r < 130, \
-        f"PPO CartPole mean-100 {r} outside golden band [86, 130] " \
-        f"(seed-0 measured 107.6)"
+    assert 80 < r < 122, \
+        f"PPO CartPole mean-100 {r} outside golden band [80, 122] " \
+        f"(seed-0 measured 100.6)"
     cp = {c["steps"]: c["mean_reward_100"] for c in algo.curve}
-    for steps, lo, hi in ((4096, 25.0, 38.0), (7680, 44.0, 68.0),
-                          (11264, 63.0, 96.0)):
+    for steps, lo, hi in ((4096, 23.0, 35.0), (7680, 42.0, 64.0),
+                          (11264, 60.0, 90.0)):
         assert lo < cp[steps] < hi, \
             f"mean-100 at {steps} steps = {cp[steps]} outside " \
             f"golden band [{lo}, {hi}]"
