@@ -269,6 +269,7 @@ class SAC:
         rng = np.random.default_rng(seed)
         gen = th.Generator().manual_seed(seed)
         obs, _ = self.env.reset(seed=seed)
+        prev_done = np.zeros(self.n_envs, dtype=bool)
         steps, it = 0, 0
         while steps < total_timesteps:
             if steps < self.learning_starts:
@@ -279,13 +280,21 @@ class SAC:
                 a = self._act(obs, gen)
             next_obs, rew, term, trunc, _ = self.env.step(self._env_action(a))
             done = np.logical_or(term, trunc)
-            # truncation is not a true terminal: bootstrap through it
-            self.buffer.add(obs, a, rew, next_obs, term.astype(np.float32))
-            self._ep_ret += rew
+            # gymnasium >=1.0 NextStep autoreset: the step after an episode
+            # end returns the reset obs with reward 0 and an ignored action
+            # — that transition must not enter the replay
+            keep = ~prev_done
+            if keep.any():
+                # truncation is not a true terminal: bootstrap through it
+                self.buffer.add(obs[keep], a[keep], rew[keep],
+                                next_obs[keep],
+                                term.astype(np.float32)[keep])
+            self._ep_ret += np.where(prev_done, 0.0, rew)
             for i in range(self.n_envs):
-                if done[i]:
+                if done[i] and not prev_done[i]:
                     self.episode_rewards.append(self._ep_ret[i])
                     self._ep_ret[i] = 0.0
+            prev_done = done
             obs = next_obs
             steps += self.n_envs
             it += 1
