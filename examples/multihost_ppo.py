@@ -141,7 +141,8 @@ def worker(out_path: str, total_steps: int, seed: int) -> None:
             cfg, hp, mesh, ens,
             O_b.reshape(rows_local, F), mb_idx, mb_n,
             A_b.reshape(-1), LP_b.reshape(-1), adv.reshape(-1),
-            ret.reshape(-1), specs, fw)
+            ret.reshape(-1), specs, fw,
+            valid_local=(1.0 - D_b.reshape(-1)))
         shim.ens = ens
         mirror.learner = shim
         mirror.sync()

@@ -123,13 +123,15 @@ def host_ppo_update(cfg: TreeConfig, hp, mesh: Mesh, ens: Ensemble,
                     X_local: np.ndarray, mb_idx, mb_n,
                     actions_local: np.ndarray, old_logp_local: np.ndarray,
                     adv_local: np.ndarray, ret_local: np.ndarray,
-                    specs: Tuple[OptimizerSpec, ...], feat_w):
+                    specs: Tuple[OptimizerSpec, ...], feat_w,
+                    valid_local: Optional[np.ndarray] = None):
     """PPO update phase fed by per-host rollout shards.
 
     Each host runs its own vector envs and passes only its local rollout
     slice; ``mb_idx``/``mb_n`` (the minibatch plan over *global* row
-    indices) must be drawn with the same seed on every host.  Returns
-    (ensemble, entropy trace), bit-identical across hosts.
+    indices) must be drawn with the same seed on every host.
+    ``valid_local`` optionally masks autoreset rows (rl/buffers.py flat()).
+    Returns (ensemble, entropy trace), bit-identical across hosts.
     """
     from .sharded_rl import _ppo_update_fn
 
@@ -138,6 +140,9 @@ def host_ppo_update(cfg: TreeConfig, hp, mesh: Mesh, ens: Ensemble,
     old_logp = host_array(mesh, old_logp_local)
     adv = host_array(mesh, adv_local)
     ret = host_array(mesh, ret_local)
+    if valid_local is None:
+        valid_local = np.ones((X_local.shape[0],), dtype=np.float32)
+    valid = host_array(mesh, np.asarray(valid_local, dtype=np.float32))
     n_updates = int(mb_idx.shape[0])
     return _ppo_update_fn(cfg, hp, n_updates, mesh, specs)(
-        ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, feat_w)
+        ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, feat_w, valid)

@@ -35,22 +35,27 @@ def _ppo_update_fn(cfg: TreeConfig, hp: PPOHyper, n_updates: int,
     repl = NamedSharding(mesh, P())
     data1 = NamedSharding(mesh, P(DATA_AXIS))
     data2 = NamedSharding(mesh, P(DATA_AXIS, None))
-    fn = lambda ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, fw: \
-        ppo_update_loop(cfg, hp, n_updates, ens, X, mb_idx, mb_n,
-                        actions, old_logp, adv, ret, specs, fw)
+    fn = lambda ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, fw, \
+        valid: ppo_update_loop(cfg, hp, n_updates, ens, X, mb_idx, mb_n,
+                               actions, old_logp, adv, ret, specs, fw,
+                               valid)
     return jax.jit(
         fn,
         in_shardings=(repl, data2, repl, repl, data1, data1, data1, data1,
-                      repl),
+                      repl, data1),
         out_shardings=(repl, repl),
         donate_argnums=(0,))
 
 
 def sharded_ppo_update(cfg: TreeConfig, hp: PPOHyper, mesh: Mesh,
                        ens: Ensemble, X, mb_idx, mb_n, actions, old_logp,
-                       adv, ret, specs: Tuple[OptimizerSpec, ...], feat_w):
+                       adv, ret, specs: Tuple[OptimizerSpec, ...], feat_w,
+                       valid=None):
     """Run one PPO update phase (all epochs x minibatches) with the rollout
     sharded over the mesh.  Returns (ensemble, entropy trace)."""
+    import jax.numpy as jnp
     n_updates = int(mb_idx.shape[0])
+    if valid is None:
+        valid = jnp.ones((X.shape[0],), dtype=jnp.float32)
     return _ppo_update_fn(cfg, hp, n_updates, mesh, specs)(
-        ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, feat_w)
+        ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, feat_w, valid)
