@@ -35,6 +35,7 @@ import numpy as np
 
 _C_SRC = r"""
 #include <stdint.h>
+#include <math.h>
 
 /* Heap-layout greedy/oblivious tree walk + coefficient-weighted leaf sum.
    rel descends the implicit heap: pass-through (non-split) nodes descend
@@ -83,6 +84,68 @@ void gbrl_mirror_predict(
         }
     }
 }
+
+/* Mixed SGD/Adam forward: the Adam columns need the per-sample first/second
+   moment recurrence over the tree sequence (reference optimizer.cpp:260-283:
+   m_t = b1 m + (1-b1) g, v_t = b2 v + (1-b2) g^2, zero-initialized per call,
+   theta -= alpha_t m/(sqrt(v)+eps) with alpha_t = lr(t)
+   sqrt(1-b2^(t+1))/(1-b1^(t+1)) folded into alpha[t*O+j] on the host side).
+   SGD columns keep the coefficient-premultiplied wleaf sum (alpha is zero
+   there and wleaf is zero on Adam columns).  One tree walk serves both. */
+void gbrl_mirror_predict_adam(
+    const float *X, const int32_t *Xc,
+    int64_t N, int64_t F, int64_t Fc,
+    const int32_t *feat, const float *thr, const uint8_t *split,
+    const uint8_t *isnum, const int32_t *code,
+    const float *wleaf,        /* [T, L, O] SGD-premultiplied (0 on Adam) */
+    const float *rawleaf,      /* [T, L, O] raw leaf values */
+    const float *alpha,        /* [T, O] Adam step size (0 on SGD cols) */
+    const float *b1, const float *b2, const float *eps,   /* [O] */
+    const uint8_t *adam,       /* [O] column mask */
+    int64_t T, int64_t D, int64_t O,
+    const float *bias, float *out)
+{
+    int64_t P = (1LL << D) - 1;
+    int64_t L = 1LL << D;
+    for (int64_t n = 0; n < N; ++n) {
+        const float *x = X + n * F;
+        const int32_t *xc = Xc ? Xc + n * Fc : 0;
+        float *o = out + n * O;
+        float m[256], v[256];   /* caller guarantees O <= 256 */
+        for (int64_t j = 0; j < O; ++j) { o[j] = bias[j]; m[j] = v[j] = 0.f; }
+        for (int64_t t = 0; t < T; ++t) {
+            const int32_t *tf = feat + t * P;
+            const float *tt = thr + t * P;
+            const uint8_t *ts = split + t * P;
+            const uint8_t *tn = isnum + t * P;
+            const int32_t *tc = code + t * P;
+            int64_t rel = 0;
+            for (int64_t d = 0; d < D; ++d) {
+                int64_t p = (1LL << d) - 1 + rel;
+                int go = 0;
+                if (ts[p]) {
+                    int32_t f = tf[p];
+                    if (tn[p]) go = x[f] > tt[p];
+                    else       go = xc && xc[f] == tc[p];
+                }
+                rel = 2 * rel + go;
+            }
+            const float *w = wleaf + (t * L + rel) * O;
+            const float *g = rawleaf + (t * L + rel) * O;
+            const float *a = alpha + t * O;
+            for (int64_t j = 0; j < O; ++j) {
+                if (adam[j]) {
+                    float gj = g[j];
+                    m[j] = b1[j] * m[j] + (1.f - b1[j]) * gj;
+                    v[j] = b2[j] * v[j] + (1.f - b2[j]) * gj * gj;
+                    o[j] -= a[j] * m[j] / (sqrtf(v[j]) + eps[j]);
+                } else {
+                    o[j] += w[j];
+                }
+            }
+        }
+    }
+}
 """
 
 _lib = None
@@ -94,18 +157,21 @@ def _load_lib():
     if _lib is not None or _lib_failed:
         return _lib
     try:
+        import hashlib
+        tag = hashlib.sha1(_C_SRC.encode()).hexdigest()[:12]
         cache = os.path.join(tempfile.gettempdir(), "gbrl_tpu_mirror")
         os.makedirs(cache, exist_ok=True)
-        src = os.path.join(cache, "mirror.c")
-        so = os.path.join(cache, "mirror.so")
+        src = os.path.join(cache, f"mirror_{tag}.c")
+        so = os.path.join(cache, f"mirror_{tag}.so")
         if not os.path.exists(so):
             with open(src, "w") as f:
                 f.write(_C_SRC)
             subprocess.run(
                 ["gcc" if _which("gcc") else "g++", "-O2", "-shared", "-fPIC",
-                 src, "-o", so], check=True, capture_output=True)
+                 src, "-o", so, "-lm"], check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.gbrl_mirror_predict.restype = None
+        lib.gbrl_mirror_predict_adam.restype = None
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -118,18 +184,23 @@ def _which(prog: str) -> Optional[str]:
     return shutil.which(prog)
 
 
+def _host_lr(spec, t: np.ndarray) -> np.ndarray:
+    """lr_o(t) for tree indices t: host replica of the scheduler step
+    (scheduler.h:124-133, 182-185)."""
+    if spec.scheduler == "Linear":
+        frac = np.minimum(t / np.float32(max(spec.T, 1)), 1.0)
+        lr = spec.init_lr + (spec.stop_lr - spec.init_lr) * frac
+        return np.maximum(lr, min(spec.init_lr, spec.stop_lr))
+    return np.full_like(t, spec.init_lr)
+
+
 def _host_sgd_coeff(specs, t0: int, t1: int, output_dim: int) -> np.ndarray:
     """-lr_o(t) on each optimizer's column range for trees [t0, t1):
     host replica of optimizers.sgd_coeff (scheduler.h:124-133, 182-185)."""
     t = np.arange(t0, t1, dtype=np.float32)
     coeff = np.zeros((t1 - t0, output_dim), dtype=np.float32)
     for s in specs:
-        if s.scheduler == "Linear":
-            frac = np.minimum(t / np.float32(max(s.T, 1)), 1.0)
-            lr = s.init_lr + (s.stop_lr - s.init_lr) * frac
-            lr = np.maximum(lr, min(s.init_lr, s.stop_lr))
-        else:
-            lr = np.full_like(t, s.init_lr)
+        lr = _host_lr(s, t)
         stop = s.stop_idx if s.stop_idx else output_dim
         coeff[:, s.start_idx:stop] -= lr[:, None]
     return coeff
@@ -155,6 +226,19 @@ class HostMirror:
         self.L = 1 << self.D
         self.O = cfg.output_dim
         self.n_synced = 0
+        # Per-column Adam hyperparameters for the C kernel (columns partition
+        # among optimizers, so at most one Adam spec governs each column).
+        self.adam_mask = np.zeros(self.O, dtype=np.uint8)
+        self.ab1 = np.zeros(self.O, dtype=np.float32)
+        self.ab2 = np.zeros(self.O, dtype=np.float32)
+        self.aeps = np.zeros(self.O, dtype=np.float32)
+        for s in learner.specs:
+            if s.algo == "Adam":
+                stop = s.stop_idx if s.stop_idx else self.O
+                self.adam_mask[s.start_idx:stop] = 1
+                self.ab1[s.start_idx:stop] = s.beta_1
+                self.ab2[s.start_idx:stop] = s.beta_2
+                self.aeps[s.start_idx:stop] = s.eps
         cap = 256
         self._alloc(cap)
         self.bias = np.zeros(self.O, dtype=np.float32)
@@ -168,19 +252,23 @@ class HostMirror:
         self.isnum = np.ones((cap, self.P), dtype=np.uint8)
         self.code = np.full((cap, self.P), -1, dtype=np.int32)
         self.wleaf = np.zeros((cap, self.L, self.O), dtype=np.float32)
+        has_adam = getattr(self, "has_adam", False)
         self.raw_leaf = (np.zeros((cap, self.L, self.O), dtype=np.float32)
-                         if getattr(self, "has_adam", False) else None)
+                         if has_adam else None)
+        self.alpha = (np.zeros((cap, self.O), dtype=np.float32)
+                      if has_adam else None)
 
     def _grow(self, need: int):
         cap = self.cap
         while cap < need:
             cap *= 2
         old = (self.feat, self.thr, self.split, self.isnum, self.code,
-               self.wleaf, self.raw_leaf)
+               self.wleaf, self.raw_leaf, self.alpha)
         n = self.n_synced
         self._alloc(cap)
         for new, o in zip((self.feat, self.thr, self.split, self.isnum,
-                           self.code, self.wleaf, self.raw_leaf), old):
+                           self.code, self.wleaf, self.raw_leaf, self.alpha),
+                          old):
             if new is not None:
                 new[:n] = o[:n]
 
@@ -207,6 +295,15 @@ class HostMirror:
             self.wleaf[a:n] = lv * coeff[:, None, :]
             if self.raw_leaf is not None:
                 self.raw_leaf[a:n] = lv
+                t = np.arange(a, n, dtype=np.float32)
+                for s in self.learner.specs:
+                    if s.algo != "Adam":
+                        continue
+                    lr = _host_lr(s, t)
+                    al = (lr * np.sqrt(1.0 - s.beta_2 ** (t + 1))
+                          / (1.0 - s.beta_1 ** (t + 1)))
+                    stop = s.stop_idx if s.stop_idx else self.O
+                    self.alpha[a:n, s.start_idx:stop] = al[:, None]
             self.n_synced = n
         return n - a
 
@@ -220,31 +317,48 @@ class HostMirror:
             X = X.reshape(1, -1)
         N, F = X.shape
         T = self.n_synced
-        if self.has_adam:
+        lib = _load_lib()
+        if lib is None or (self.has_adam and self.O > 256):
             return self._predict_numpy(X, Xc)
         out = np.empty((N, self.O), dtype=np.float32)
-        lib = _load_lib()
-        if lib is not None:
-            Fc = 0 if Xc is None else Xc.shape[1]
-            xc_ptr = None
-            if Xc is not None:
-                Xc = np.ascontiguousarray(Xc, dtype=np.int32)
-                xc_ptr = Xc.ctypes.data_as(ctypes.c_void_p)
-            lib.gbrl_mirror_predict(
+        Fc = 0 if Xc is None else Xc.shape[1]
+        xc_ptr = None
+        if Xc is not None:
+            Xc = np.ascontiguousarray(Xc, dtype=np.int32)
+            xc_ptr = Xc.ctypes.data_as(ctypes.c_void_p)
+        tree_args = (
+            self.feat.ctypes.data_as(ctypes.c_void_p),
+            self.thr.ctypes.data_as(ctypes.c_void_p),
+            self.split.ctypes.data_as(ctypes.c_void_p),
+            self.isnum.ctypes.data_as(ctypes.c_void_p),
+            self.code.ctypes.data_as(ctypes.c_void_p))
+        if self.has_adam:
+            lib.gbrl_mirror_predict_adam(
                 X.ctypes.data_as(ctypes.c_void_p), xc_ptr,
                 ctypes.c_int64(N), ctypes.c_int64(F), ctypes.c_int64(Fc),
-                self.feat.ctypes.data_as(ctypes.c_void_p),
-                self.thr.ctypes.data_as(ctypes.c_void_p),
-                self.split.ctypes.data_as(ctypes.c_void_p),
-                self.isnum.ctypes.data_as(ctypes.c_void_p),
-                self.code.ctypes.data_as(ctypes.c_void_p),
+                *tree_args,
                 self.wleaf.ctypes.data_as(ctypes.c_void_p),
+                self.raw_leaf.ctypes.data_as(ctypes.c_void_p),
+                self.alpha.ctypes.data_as(ctypes.c_void_p),
+                self.ab1.ctypes.data_as(ctypes.c_void_p),
+                self.ab2.ctypes.data_as(ctypes.c_void_p),
+                self.aeps.ctypes.data_as(ctypes.c_void_p),
+                self.adam_mask.ctypes.data_as(ctypes.c_void_p),
                 ctypes.c_int64(T), ctypes.c_int64(self.D),
                 ctypes.c_int64(self.O),
                 self.bias.ctypes.data_as(ctypes.c_void_p),
                 out.ctypes.data_as(ctypes.c_void_p))
             return out
-        return self._predict_numpy(X, Xc)
+        lib.gbrl_mirror_predict(
+            X.ctypes.data_as(ctypes.c_void_p), xc_ptr,
+            ctypes.c_int64(N), ctypes.c_int64(F), ctypes.c_int64(Fc),
+            *tree_args,
+            self.wleaf.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(T), ctypes.c_int64(self.D),
+            ctypes.c_int64(self.O),
+            self.bias.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
 
     def _predict_numpy(self, X: np.ndarray, Xc: Optional[np.ndarray]
                        ) -> np.ndarray:

@@ -115,3 +115,35 @@ def test_mirror_adam_matches_device_predict():
     got = mirror.predict(X[:24])
     np.testing.assert_allclose(got, want.reshape(got.shape),
                                rtol=1e-4, atol=1e-5)
+    # The C kernel's inline m/v recurrence must agree with the numpy
+    # replica (and transitively with the device path above).
+    if _load_lib() is not None:
+        got_np = mirror._predict_numpy(X[:24].astype(np.float32), None)
+        np.testing.assert_allclose(got, got_np, rtol=1e-5, atol=1e-6)
+
+
+def test_mirror_adam_incremental_sync_c_kernel():
+    """Adam alpha[t] must stay correct across incremental syncs and
+    capacity growth (the A2C rollout pattern: sync after every update)."""
+    rng = np.random.default_rng(11)
+    learner = GBTLearner(
+        input_dim=5, output_dim=2,
+        tree_struct=dict(max_depth=2, n_bins=8, min_data_in_leaf=0,
+                         par_th=2, grow_policy="greedy"),
+        optimizers=[dict(algo="Adam", lr="lin_0.08", T=300,
+                         start_idx=0, stop_idx=2)],
+        params=dict(split_score_func="cosine", generator_type="Quantile"),
+        device="cpu")
+    learner.reset()
+    learner.set_feature_mapping(np.ones(5, dtype=bool))
+    X = rng.normal(size=(96, 5)).astype(np.float32)
+    mirror = HostMirror(learner)
+    for _ in range(6):
+        for _ in range(50):   # crosses the 256-tree mirror capacity
+            g = rng.normal(size=(96, 2)).astype(np.float32)
+            learner.step(X, g)
+        mirror.sync()
+    want = learner.predict(X[:16], requires_grad=False, tensor=False)
+    got = mirror.predict(X[:16])
+    np.testing.assert_allclose(got, want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)
