@@ -20,7 +20,8 @@ class A2C:
                  ent_coef: float = 0.01, vf_coef: float = 0.5,
                  control_variates: bool = False,
                  normalize_advantage: bool = True,
-                 log_interval: int = 0, device: str = "tpu"):
+                 log_interval: int = 0, device: str = "tpu",
+                 jit_update: bool = True):
         self.env = env
         self.n_envs = env.num_envs
         obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -47,6 +48,7 @@ class A2C:
         self.ent_coef = ent_coef
         self.vf_coef = vf_coef
         self.normalize_advantage = normalize_advantage
+        self.jit_update = jit_update
         self.log_interval = log_interval
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
@@ -66,6 +68,16 @@ class A2C:
             else:
                 self._mirror = False
         return self._mirror or None
+
+    def _use_jit_update(self) -> bool:
+        """Fused one-round-trip device update (rl/jit_a2c.py): available for
+        plain numeric-feature learners (the facade path stays for
+        categorical/distilled models and as the parity oracle)."""
+        lr = self.model.learner
+        return (self.jit_update
+                and getattr(lr, "vocab", None) is None
+                and getattr(lr, "student_model", None) is None
+                and hasattr(lr, "ens"))
 
     def _sample_np(self, obs, rng, mirror):
         preds = mirror.predict(np.asarray(obs, dtype=np.float32))
@@ -117,25 +129,34 @@ class A2C:
                 last_values = last_value.detach().numpy().reshape(-1)
             buffer.compute_returns(last_values, dones)
             b_obs, b_act, _, adv, ret, _, valid = buffer.flat()
-            theta, values = self.model(b_obs, requires_grad=True)
-            dist = Categorical(logits=theta)
-            w = th.as_tensor(valid)
-            nw = w.sum().clamp(min=1.0)
-            adv_t = th.as_tensor(adv)
-            if self.normalize_advantage:
-                m = (adv_t * w).sum() / nw
-                var = (w * (adv_t - m) ** 2).sum() / (nw - 1.0).clamp(min=1.0)
-                adv_t = (adv_t - m) / (var.sqrt() + 1e-8)
-            log_prob = dist.log_prob(th.as_tensor(b_act))
-            policy_loss = -(w * adv_t * log_prob).sum() / nw
-            entropy_loss = -(w * dist.entropy()).sum() / nw
-            (policy_loss + self.ent_coef * entropy_loss).backward()
-            value_loss = self.vf_coef * 0.5 * (
-                w * (th.as_tensor(ret) - values) ** 2).sum() / nw
-            value_loss.backward()
-            self.model.step()
-            if mirror is not None:
-                mirror.sync()
+            if self._use_jit_update():
+                from .jit_a2c import A2CHyper, run_a2c_update
+                hp = A2CHyper(n_actions=self.n_actions,
+                              ent_coef=self.ent_coef, vf_coef=self.vf_coef,
+                              normalize_advantage=self.normalize_advantage)
+                run_a2c_update(self.model.learner, b_obs, b_act, adv, ret,
+                               valid, hp, mirror=mirror)
+            else:
+                theta, values = self.model(b_obs, requires_grad=True)
+                dist = Categorical(logits=theta)
+                w = th.as_tensor(valid)
+                nw = w.sum().clamp(min=1.0)
+                adv_t = th.as_tensor(adv)
+                if self.normalize_advantage:
+                    m = (adv_t * w).sum() / nw
+                    var = (w * (adv_t - m) ** 2).sum() \
+                        / (nw - 1.0).clamp(min=1.0)
+                    adv_t = (adv_t - m) / (var.sqrt() + 1e-8)
+                log_prob = dist.log_prob(th.as_tensor(b_act))
+                policy_loss = -(w * adv_t * log_prob).sum() / nw
+                entropy_loss = -(w * dist.entropy()).sum() / nw
+                (policy_loss + self.ent_coef * entropy_loss).backward()
+                value_loss = self.vf_coef * 0.5 * (
+                    w * (th.as_tensor(ret) - values) ** 2).sum() / nw
+                value_loss.backward()
+                self.model.step()
+                if mirror is not None:
+                    mirror.sync()
             steps += self.n_steps * self.n_envs
             it += 1
             self.curve.append(dict(

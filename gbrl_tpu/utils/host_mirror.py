@@ -307,6 +307,37 @@ class HostMirror:
             self.n_synced = n
         return n - a
 
+    def append_tree(self, tree: dict) -> None:
+        """Append ONE already-fetched tree (the dict returned by a fused
+        device update, e.g. rl/jit_a2c.py) without touching the device —
+        the fused paths return the new tree in the same fetch as their
+        stats, so the mirror stays in sync with zero extra round trips."""
+        t = self.n_synced
+        if t + 1 > self.cap:
+            self._grow(t + 1)
+        self.feat[t] = np.asarray(tree["feat"])[:self.P]
+        self.thr[t] = np.asarray(tree["thr"])[:self.P]
+        self.split[t] = np.asarray(tree["is_split"])[:self.P].astype(np.uint8)
+        self.isnum[t] = np.asarray(
+            tree["is_numeric"])[:self.P].astype(np.uint8)
+        self.code[t] = np.asarray(tree["cat_code"])[:self.P]
+        lv = np.asarray(tree["leaf_values"])[:self.L]
+        sgd_specs = [s for s in self.learner.specs if s.algo == "SGD"]
+        coeff = _host_sgd_coeff(sgd_specs, t, t + 1, self.O)
+        self.wleaf[t] = lv * coeff[0][None, :]
+        if self.raw_leaf is not None:
+            self.raw_leaf[t] = lv
+            tf = np.asarray([t], dtype=np.float32)
+            for s in self.learner.specs:
+                if s.algo != "Adam":
+                    continue
+                lr = _host_lr(s, tf)
+                al = (lr * np.sqrt(1.0 - s.beta_2 ** (tf + 1))
+                      / (1.0 - s.beta_1 ** (tf + 1)))
+                stop = s.stop_idx if s.stop_idx else self.O
+                self.alpha[t, s.start_idx:stop] = al[0]
+        self.n_synced = t + 1
+
     # ------------------------------------------------------------------ API
     def predict(self, X: np.ndarray, Xc: Optional[np.ndarray] = None
                 ) -> np.ndarray:

@@ -46,6 +46,79 @@ def test_ppo_cartpole_learns():
     assert late > early * 1.5
 
 
+def test_a2c_jit_update_matches_facade():
+    """The fused one-round-trip A2C update (rl/jit_a2c.py) must produce the
+    SAME tree as the torch-facade path (predict -> backward -> model.step)
+    on an identical batch: same structure, same leaf values."""
+    import torch as th
+    from torch.distributions import Categorical
+    from gbrl_tpu.rl.jit_a2c import A2CHyper, run_a2c_update
+
+    rng = np.random.default_rng(7)
+    N, F, na = 256, 4, 2
+    obs = rng.normal(size=(N, F)).astype(np.float32)
+    actions = rng.integers(0, na, size=N).astype(np.int64)
+    adv = rng.normal(size=N).astype(np.float32)
+    ret = rng.normal(size=N).astype(np.float32)
+    valid = (rng.random(N) > 0.1).astype(np.float32)
+
+    def make(jit):
+        env = _cartpole(2)
+        algo = A2C(env, n_steps=8, policy_lr=0.05, value_lr=0.01,
+                   policy_algo="Adam", control_variates=True,
+                   jit_update=jit, device="cpu")
+        env.close()
+        return algo
+
+    a_jit, a_fac = make(True), make(False)
+    # warm both with one identical seed tree so CV momentum is non-trivial
+    for algo in (a_jit, a_fac):
+        g0 = rng.bit_generator.state  # keep rng identical across sides
+        r = np.random.default_rng(3)
+        theta, values = algo.model(obs, requires_grad=True)
+        dist = Categorical(logits=theta)
+        w = th.as_tensor(valid)
+        nw = w.sum().clamp(min=1.0)
+        lp = dist.log_prob(th.as_tensor(actions))
+        (-(w * th.as_tensor(adv) * lp).sum() / nw).backward()
+        (0.5 * (w * (th.as_tensor(ret) - values) ** 2).sum() / nw).backward()
+        algo.model.step()
+        rng.bit_generator.state = g0
+
+    hp = A2CHyper(n_actions=na, ent_coef=0.01, vf_coef=0.5,
+                  normalize_advantage=True)
+    run_a2c_update(a_jit.model.learner, obs, actions, adv, ret, valid, hp)
+
+    theta, values = a_fac.model(obs, requires_grad=True)
+    dist = Categorical(logits=theta)
+    w = th.as_tensor(valid)
+    nw = w.sum().clamp(min=1.0)
+    adv_t = th.as_tensor(adv)
+    m = (adv_t * w).sum() / nw
+    var = (w * (adv_t - m) ** 2).sum() / (nw - 1.0).clamp(min=1.0)
+    adv_t = (adv_t - m) / (var.sqrt() + 1e-8)
+    lp = dist.log_prob(th.as_tensor(actions))
+    policy_loss = -(w * adv_t * lp).sum() / nw
+    entropy_loss = -(w * dist.entropy()).sum() / nw
+    (policy_loss + 0.01 * entropy_loss).backward()
+    (0.5 * 0.5 * (w * (th.as_tensor(ret) - values) ** 2).sum() / nw
+     ).backward()
+    a_fac.model.step()
+
+    ej, ef = a_jit.model.learner.ens, a_fac.model.learner.ens
+    t = int(ej.n_trees) - 1
+    assert int(ej.n_trees) == int(ef.n_trees)
+    np.testing.assert_array_equal(np.asarray(ej.feat[t]),
+                                  np.asarray(ef.feat[t]))
+    np.testing.assert_array_equal(np.asarray(ej.is_split[t]),
+                                  np.asarray(ef.is_split[t]))
+    np.testing.assert_allclose(np.asarray(ej.thr[t]),
+                               np.asarray(ef.thr[t]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ej.leaf_values[t]),
+                               np.asarray(ef.leaf_values[t]),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_a2c_adam_cv_runs_and_improves():
     env = _cartpole()
     algo = A2C(env, n_steps=32, policy_lr=0.3, value_lr=0.02,
