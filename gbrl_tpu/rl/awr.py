@@ -79,6 +79,7 @@ class AWR:
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
         self._replay = []   # list of (obs, act, ret) batches
+        self._vcache = []   # per-chunk incremental V(s)/V(s') caches
 
     # ----------------------------------------------------------- host mirror
     def _get_mirrors(self):
@@ -181,13 +182,38 @@ class AWR:
         (truncations bootstrap through V(s'), which IS the final
         observation under NextStep autoreset; terminations cut), then
         GAE(lambda) chained within each chunk, target = adv + V(s).
-        Served by the host mirror: ~us/sample, so a 50k-row replay
-        recomputes in milliseconds."""
+        Served by the host mirror with INCREMENTAL value caches: each
+        chunk's V(s)/V(s') arrays are cached and only the trees fitted
+        since the last recompute are added (HostMirror.predict_range), so
+        the per-iteration cost is O(replay * new_trees) instead of
+        O(replay * total_trees) — the latter grew to seconds/iteration by
+        mid-training and dominated AWR wall-clock."""
         obs_l, act_l, ret_l, adv_l = [], [], [], []
-        for (O, NO, A, R, Term, Trunc, Valid) in self._replay:
+        m = self._get_mirrors()
+        cm = m[1] if m else None
+        for ci, (O, NO, A, R, Term, Trunc, Valid) in enumerate(self._replay):
             T, E = R.shape
-            v = self._values(O.reshape(T * E, -1)).reshape(T, E)
-            vn = self._values(NO.reshape(T * E, -1)).reshape(T, E)
+            if cm is not None:
+                cache = self._vcache[ci]
+                t_now = cm.n_synced
+                if cache is None or not np.array_equal(cache["bias"],
+                                                       cm.bias):
+                    cache = dict(
+                        v=cm.predict(O.reshape(T * E, -1))[:, 0].copy(),
+                        vn=cm.predict(NO.reshape(T * E, -1))[:, 0].copy(),
+                        t=t_now, bias=cm.bias.copy())
+                    self._vcache[ci] = cache
+                elif cache["t"] < t_now:
+                    cache["v"] += cm.predict_range(
+                        O.reshape(T * E, -1), cache["t"], t_now)[:, 0]
+                    cache["vn"] += cm.predict_range(
+                        NO.reshape(T * E, -1), cache["t"], t_now)[:, 0]
+                    cache["t"] = t_now
+                v = cache["v"].reshape(T, E)
+                vn = cache["vn"].reshape(T, E)
+            else:
+                v = self._values(O.reshape(T * E, -1)).reshape(T, E)
+                vn = self._values(NO.reshape(T * E, -1)).reshape(T, E)
             delta = R + self.gamma * (1.0 - Term) * vn - v
             adv = np.zeros_like(R)
             gae = np.zeros(E, dtype=np.float32)
@@ -223,9 +249,11 @@ class AWR:
             chunk = self._rollout(obs, rng)
             obs = chunk[-1]
             self._replay.append(chunk[:-1])
+            self._vcache.append(None)
             total = sum(x[3].size for x in self._replay)
             while total > self.buffer_size and len(self._replay) > 1:
                 total -= self._replay.pop(0)[3].size
+                self._vcache.pop(0)
             if it == 0:
                 # jump the critic to the return scale immediately
                 # (reference GBTModel.set_bias_from_targets, gbt.py:130-148)

@@ -26,11 +26,13 @@ reduction (predictor.cpp:147-165).
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 import tempfile
 from typing import Optional
 
+import jax
 import numpy as np
 
 _C_SRC = r"""
@@ -150,6 +152,19 @@ void gbrl_mirror_predict_adam(
 
 _lib = None
 _lib_failed = False
+
+# Width of the jitted tree-sync window: covers a typical RL update phase's
+# new trees (1-70) in one fetch while keeping the per-sync transfer bounded.
+_SYNC_WINDOW = 128
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _slice_rows(arrs, W: int, start):
+    """Static-width row windows [start, start+W) of each array — ONE
+    compiled program regardless of where the window lands (dynamic start,
+    static width)."""
+    return tuple(jax.lax.dynamic_slice_in_dim(x, start, W, axis=0)
+                 for x in arrs)
 
 
 def _load_lib():
@@ -282,14 +297,31 @@ class HostMirror:
             self._grow(n)
         self.bias = np.asarray(ens.bias, dtype=np.float32).reshape(self.O)
         if n > a:
-            self.feat[a:n] = np.asarray(ens.feat[a:n])[:, :self.P]
-            self.thr[a:n] = np.asarray(ens.thr[a:n])[:, :self.P]
-            self.split[a:n] = np.asarray(
-                ens.is_split[a:n])[:, :self.P].astype(np.uint8)
-            self.isnum[a:n] = np.asarray(
-                ens.is_numeric[a:n])[:, :self.P].astype(np.uint8)
-            self.code[a:n] = np.asarray(ens.cat_code[a:n])[:, :self.P]
-            lv = np.asarray(ens.leaf_values[a:n])
+            # Fetch new trees through a FIXED-width jitted dynamic_slice:
+            # naive device-side slicing (ens.feat[a:n]) builds a new gather
+            # program per (a, n) pair — measured ~90s of XLA CPU recompiles
+            # over a 30-iteration AWR run.  A static window width keeps it
+            # to one compiled program, and jax.device_get batches the six
+            # transfers into one trip.
+            cap = int(ens.feat.shape[0])
+            W = min(_SYNC_WINDOW, cap)
+            arrs = (ens.feat, ens.thr, ens.is_split, ens.is_numeric,
+                    ens.cat_code, ens.leaf_values)
+            lv = np.empty((n - a, self.L, self.O), dtype=np.float32)
+            a0 = a
+            while a0 < n:
+                s = min(a0, cap - W)
+                feat, thr, is_split, is_numeric, cat_code, lv_w = \
+                    jax.device_get(_slice_rows(arrs, W, s))
+                lo, hi = a0 - s, min(n - s, W)
+                dst = slice(s + lo, s + hi)
+                self.feat[dst] = feat[lo:hi, :self.P]
+                self.thr[dst] = thr[lo:hi, :self.P]
+                self.split[dst] = is_split[lo:hi, :self.P].astype(np.uint8)
+                self.isnum[dst] = is_numeric[lo:hi, :self.P].astype(np.uint8)
+                self.code[dst] = cat_code[lo:hi, :self.P]
+                lv[s + lo - a:s + hi - a] = lv_w[lo:hi, :self.L]
+                a0 = s + hi
             sgd_specs = [s for s in self.learner.specs if s.algo == "SGD"]
             coeff = _host_sgd_coeff(sgd_specs, a, n, self.O)
             self.wleaf[a:n] = lv * coeff[:, None, :]
@@ -339,6 +371,65 @@ class HostMirror:
         self.n_synced = t + 1
 
     # ------------------------------------------------------------------ API
+    def predict_range(self, X: np.ndarray, t0: int, t1: int,
+                      Xc: Optional[np.ndarray] = None) -> np.ndarray:
+        """Bias-free sum of SGD tree updates over trees [t0, t1) — the
+        incremental delta on top of a cached prediction (the host replica
+        of learners/gbt_learner._predict_delta_jit).  Lets value caches
+        over large replays update in O(rows * new_trees) instead of
+        re-walking the whole ensemble (SGD columns only: the Adam
+        recurrence is not decomposable by tree range)."""
+        assert not self.has_adam, "predict_range requires SGD-only columns"
+        t0 = max(0, min(int(t0), self.n_synced))
+        t1 = max(t0, min(int(t1), self.n_synced))
+        X = np.ascontiguousarray(X, dtype=np.float32)
+        if X.ndim == 1:
+            X = X.reshape(1, -1)
+        N, F = X.shape
+        T = t1 - t0
+        zero_bias = np.zeros(self.O, dtype=np.float32)
+        lib = _load_lib()
+        if lib is None or T == 0:
+            out = np.zeros((N, self.O), dtype=np.float32)
+            if T == 0:
+                return out
+            return self._predict_numpy_range(X, Xc, t0, t1)
+        out = np.empty((N, self.O), dtype=np.float32)
+        Fc = 0 if Xc is None else Xc.shape[1]
+        xc_ptr = None
+        if Xc is not None:
+            Xc = np.ascontiguousarray(Xc, dtype=np.int32)
+            xc_ptr = Xc.ctypes.data_as(ctypes.c_void_p)
+        # row slices of C-contiguous arrays stay contiguous
+        lib.gbrl_mirror_predict(
+            X.ctypes.data_as(ctypes.c_void_p), xc_ptr,
+            ctypes.c_int64(N), ctypes.c_int64(F), ctypes.c_int64(Fc),
+            self.feat[t0:].ctypes.data_as(ctypes.c_void_p),
+            self.thr[t0:].ctypes.data_as(ctypes.c_void_p),
+            self.split[t0:].ctypes.data_as(ctypes.c_void_p),
+            self.isnum[t0:].ctypes.data_as(ctypes.c_void_p),
+            self.code[t0:].ctypes.data_as(ctypes.c_void_p),
+            self.wleaf[t0:].ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(T), ctypes.c_int64(self.D),
+            ctypes.c_int64(self.O),
+            zero_bias.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
+    def _predict_numpy_range(self, X, Xc, t0: int, t1: int) -> np.ndarray:
+        save = (self.feat, self.thr, self.split, self.isnum, self.code,
+                self.wleaf, self.bias, self.n_synced)
+        try:
+            self.feat, self.thr = self.feat[t0:], self.thr[t0:]
+            self.split, self.isnum = self.split[t0:], self.isnum[t0:]
+            self.code, self.wleaf = self.code[t0:], self.wleaf[t0:]
+            self.bias = np.zeros(self.O, dtype=np.float32)
+            self.n_synced = t1 - t0
+            return self._predict_numpy(X, Xc)
+        finally:
+            (self.feat, self.thr, self.split, self.isnum, self.code,
+             self.wleaf, self.bias, self.n_synced) = save
+
     def predict(self, X: np.ndarray, Xc: Optional[np.ndarray] = None
                 ) -> np.ndarray:
         """[N, O] predictions for numeric features X (+optional categorical
