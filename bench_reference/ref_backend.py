@@ -58,6 +58,8 @@ def load_shim():
             ctypes.c_float]
         lib.ref_set_feature_weights.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.ref_set_bias.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.ref_predict.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p]
@@ -120,11 +122,134 @@ class RefModel:
     def get_num_trees(self) -> int:
         return self.lib.ref_num_trees(self.h)
 
+    def set_feature_weights(self, w: np.ndarray):
+        w = np.ascontiguousarray(w, dtype=np.float32)
+        self.lib.ref_set_feature_weights(
+            self.h, w.ctypes.data_as(ctypes.c_void_p), self.F)
+
+    def set_bias(self, bias: np.ndarray):
+        bias = np.ascontiguousarray(bias, dtype=np.float32).reshape(-1)
+        self.lib.ref_set_bias(self.h,
+                              bias.ctypes.data_as(ctypes.c_void_p), self.O)
+
     def __del__(self):
         try:
             self.lib.ref_free(self.h)
         except Exception:
             pass
+
+
+def _row_clip(g: np.ndarray, max_norm) -> np.ndarray:
+    """Per-sample L2 gradient clip (reference gbrl/common/utils.py
+    clip_grad_norm semantics)."""
+    if not max_norm:
+        return g
+    norms = np.sqrt((g * g).sum(axis=-1, keepdims=True))
+    return g * np.minimum(1.0, max_norm / (norms + 1e-8))
+
+
+class _RefLearnerShim:
+    """Just enough learner surface for gbrl_tpu.rl facades' capability
+    probes (no vocab, no student model, no mirror)."""
+    vocab = None
+    student_model = None
+    specs = ()
+
+
+class RefGaussianActor:
+    """Reference-core stand-in for gbrl_tpu.models.GaussianActor
+    (fixed-std mode) with the __call__/step contract used by rl/awr.py."""
+
+    def __init__(self, input_dim: int, act_dim: int, actor_lr: float,
+                 log_std_init: float = -0.5,
+                 tree_struct: Optional[dict] = None,
+                 feature_weights: Optional[np.ndarray] = None,
+                 batch_size: int = 5000):
+        ts = dict(max_depth=4, n_bins=256, min_data_in_leaf=0, par_th=2,
+                  grow_policy="oblivious")
+        ts.update(tree_struct or {})
+        self.act_dim = act_dim
+        self.log_std_init = log_std_init
+        self.model = RefModel(
+            input_dim, act_dim, policy_dim=act_dim,
+            max_depth=ts["max_depth"], n_bins=ts["n_bins"],
+            min_data_in_leaf=ts["min_data_in_leaf"], par_th=ts["par_th"],
+            batch_size=batch_size, grow_policy=ts["grow_policy"])
+        self.model.set_optimizer("SGD", actor_lr, 0, act_dim)
+        if feature_weights is not None:
+            self.model.set_feature_weights(feature_weights)
+        self.learner = _RefLearnerShim()
+        self.params = None
+        self.inputs = None
+
+    def __call__(self, observations, requires_grad: bool = True):
+        obs = np.asarray(observations, dtype=np.float32)
+        mu = th.tensor(self.model.predict(obs), requires_grad=requires_grad)
+        log_std = th.full_like(mu.detach(), self.log_std_init)
+        if requires_grad:
+            self.params = mu
+            self.inputs = obs
+        return mu, log_std
+
+    def step(self, mu_grad_clip=None, log_std_grad_clip=None):
+        n = len(self.inputs)
+        g = self.params.grad.detach().numpy() * n
+        g = _row_clip(g, mu_grad_clip)
+        self.model.step(self.inputs, g)
+        self.inputs = None
+
+    def get_num_trees(self) -> int:
+        return self.model.get_num_trees()
+
+
+class RefGBTModel:
+    """Reference-core stand-in for gbrl_tpu.models.GBTModel (scalar-output
+    critic) with the __call__/step contract used by rl/awr.py."""
+
+    def __init__(self, input_dim: int, lr: float,
+                 tree_struct: Optional[dict] = None,
+                 feature_weights: Optional[np.ndarray] = None,
+                 batch_size: int = 5000):
+        ts = dict(max_depth=4, n_bins=256, min_data_in_leaf=0, par_th=2,
+                  grow_policy="oblivious")
+        ts.update(tree_struct or {})
+        self.model = RefModel(
+            input_dim, 1, policy_dim=1, max_depth=ts["max_depth"],
+            n_bins=ts["n_bins"], min_data_in_leaf=ts["min_data_in_leaf"],
+            par_th=ts["par_th"], batch_size=batch_size,
+            grow_policy=ts["grow_policy"])
+        self.model.set_optimizer("SGD", lr, 0, 1)
+        if feature_weights is not None:
+            self.model.set_feature_weights(feature_weights)
+        self.learner = _RefLearnerShim()
+        self.params = None
+        self.inputs = None
+
+    def __call__(self, observations, requires_grad: bool = True,
+                 tensor: bool = True):
+        obs = np.asarray(observations, dtype=np.float32)
+        preds = self.model.predict(obs)[:, 0]
+        if not tensor:
+            return preds
+        v = th.tensor(preds, requires_grad=requires_grad)
+        if requires_grad:
+            self.params = v
+            self.inputs = obs
+        return v
+
+    def set_bias_from_targets(self, targets):
+        # reference GBTModel.set_bias_from_targets: bias = mean(targets)
+        self.model.set_bias(
+            np.asarray([np.mean(np.asarray(targets))], dtype=np.float32))
+
+    def step(self):
+        n = len(self.inputs)
+        g = self.params.grad.detach().numpy().reshape(n, 1) * n
+        self.model.step(self.inputs, g)
+        self.inputs = None
+
+    def get_num_trees(self) -> int:
+        return self.model.get_num_trees()
 
 
 class RefActorCritic:

@@ -39,6 +39,11 @@ void ref_set_feature_weights(void *h, const float *w, int F) {
     ((GBRL *)h)->set_feature_weights(&fw, F);
 }
 
+void ref_set_bias(void *h, const float *bias, int O) {
+    dataHolder<const float> b{bias, cpu};
+    ((GBRL *)h)->set_bias(&b, O);
+}
+
 void ref_predict(void *h, const float *obs, int n, int F, int O, float *out) {
     dataHolder<const float> o{obs, cpu};
     dataHolder<const char> c{nullptr, cpu};

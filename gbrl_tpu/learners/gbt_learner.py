@@ -114,6 +114,7 @@ class GBTLearner(BaseLearner):
         self._mapping_set = False
         self.total_iterations = 0
         self._pred_cache = None
+        self._rl_host_n_trees = None   # RL loops re-arm their host counter
 
     def _validate_specs(self) -> None:
         """Column-range validation (reference: gbrl.cpp:452-525)."""
@@ -248,6 +249,8 @@ class GBTLearner(BaseLearner):
         self.ens = boost_step(self.cfg, self.ens, Xn, jnp.asarray(g),
                               fw_num, Xc, fw_cat, self._n_codes())
         self.total_iterations += 1
+        if getattr(self, "_rl_host_n_trees", None) is not None:
+            self._rl_host_n_trees += 1   # keep the RL host counter exact
 
     def fit(self, features: NumericalData, targets: NumericalData,
             iterations: int, shuffle: bool = True,
@@ -296,6 +299,8 @@ class GBTLearner(BaseLearner):
             jnp.asarray(yp), jnp.int32(N), self.specs,
             fw[:n_num], Xcp, fw[n_num:], self._n_codes())
         self._last_fit_losses = np.asarray(per_iter)
+        if getattr(self, "_rl_host_n_trees", None) is not None:
+            self._rl_host_n_trees += int(iterations)
         if self.verbose > 0:
             # per-iteration batch loss (fitter.cpp:232-234)
             for i, l in enumerate(self._last_fit_losses):
@@ -403,6 +408,8 @@ class GBTLearner(BaseLearner):
             f"bias length {len(b)} != output_dim {self.output_dim}"
         self.ens = self.ens.replace(bias=jnp.asarray(b))
         self._pred_cache = None   # bias is baked into cached predictions
+        # version stamp lets host mirrors skip the per-sync bias fetch
+        self._bias_version = getattr(self, "_bias_version", 0) + 1
 
     def get_bias(self) -> np.ndarray:
         return np.asarray(self.ens.bias)

@@ -146,3 +146,29 @@ def host_ppo_update(cfg: TreeConfig, hp, mesh: Mesh, ens: Ensemble,
     n_updates = int(mb_idx.shape[0])
     return _ppo_update_fn(cfg, hp, n_updates, mesh, specs)(
         ens, X, mb_idx, mb_n, actions, old_logp, adv, ret, feat_w, valid)
+
+
+def host_awr_update(acfg: TreeConfig, ccfg: TreeConfig, hp, mesh: Mesh,
+                    actor_ens: Ensemble, critic_ens: Ensemble,
+                    X_local: np.ndarray, acts_local: np.ndarray,
+                    rets_local: np.ndarray, advs_local: np.ndarray,
+                    cmb_idx: np.ndarray, amb_idx: np.ndarray,
+                    specs, feat_w):
+    """AWR update phase (BASELINE config 5's sharding clause) fed by
+    per-host replay shards.
+
+    Each host passes only its local [B_local, ...] replay slice (valid
+    rows only, already advantage-annotated); ``cmb_idx``/``amb_idx`` (the
+    critic/actor minibatch plans over *global* row indices) must be drawn
+    with the same seed on every host.  Returns
+    (actor_ens, critic_ens, traces), bit-identical across hosts."""
+    from .sharded_rl import _awr_update_fn
+
+    X = host_array(mesh, X_local)
+    acts = host_array(mesh, acts_local)
+    rets = host_array(mesh, rets_local)
+    advs = host_array(mesh, advs_local)
+    n_updates = (int(cmb_idx.shape[0]), int(amb_idx.shape[0]))
+    return _awr_update_fn(acfg, ccfg, hp, n_updates, mesh, tuple(specs))(
+        actor_ens, critic_ens, X, acts, rets, advs, cmb_idx, amb_idx,
+        feat_w)

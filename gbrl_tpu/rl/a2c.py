@@ -100,6 +100,17 @@ class A2C:
         self.curve = []
         steps, it = 0, 0
         mirror = self._get_mirror()
+        if self._use_jit_update():
+            # preallocate capacity for the whole run: one jit compile
+            # instead of one per power-of-two capacity crossing, and the
+            # per-iteration ensure_capacity becomes a host-only no-op
+            from ..ensemble import ensure_capacity
+            lr = self.model.learner
+            n0 = int(lr.ens.n_trees)
+            iters_planned = -(-total_timesteps
+                              // (self.n_steps * self.n_envs))
+            lr.ens = ensure_capacity(lr.ens, n0 + iters_planned)
+            lr._rl_host_n_trees = n0
         while steps < total_timesteps:
             for _ in range(self.n_steps):
                 if mirror is not None:
@@ -159,14 +170,17 @@ class A2C:
                     mirror.sync()
             steps += self.n_steps * self.n_envs
             it += 1
+            ntr = getattr(self.model.learner, "_rl_host_n_trees", None)
+            if ntr is None:
+                ntr = self.model.get_num_trees()
             self.curve.append(dict(
                 steps=steps, mean_reward_100=self.mean_reward(),
-                trees=self.model.get_num_trees()))
+                trees=ntr))
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])
                            if self.episode_rewards else float("nan"))
                 print(f"iter {it} steps {steps} trees "
-                      f"{self.model.get_num_trees()} ep_rew_mean {mean100:.1f}")
+                      f"{ntr} ep_rew_mean {mean100:.1f}")
         return self
 
     def mean_reward(self, last: int = 100) -> float:

@@ -91,7 +91,8 @@ class AWR:
             alr, clr = self.actor.learner, self.critic.learner
             ok = (all(s.algo == "SGD" for s in alr.specs)
                   and all(s.algo == "SGD" for s in clr.specs)
-                  and alr.vocab is None)
+                  and alr.vocab is None
+                  and hasattr(alr, "ens") and hasattr(clr, "ens"))
             self._mirrors = (HostMirror(alr), HostMirror(clr)) if ok else None
         return self._mirrors
 
@@ -242,8 +243,11 @@ class AWR:
         for model, per_iter in ((self.actor, self.actor_updates),
                                 (self.critic, self.critic_updates)):
             lr = model.learner
-            lr.ens = ensure_capacity(
-                lr.ens, int(lr.ens.n_trees) + iters_planned * per_iter)
+            if hasattr(lr, "ens"):   # absent on external-backend facades
+                n0 = int(lr.ens.n_trees)
+                lr.ens = ensure_capacity(
+                    lr.ens, n0 + iters_planned * per_iter)
+                lr._rl_host_n_trees = n0
         steps, it = 0, 0
         while steps < total_timesteps:
             chunk = self._rollout(obs, rng)
@@ -271,15 +275,17 @@ class AWR:
                 steps += self.n_steps
                 it += 1
                 self._progress = steps / max(total_timesteps, 1)
+                ntr = getattr(self.actor.learner, "_rl_host_n_trees", None)
+                if ntr is None:
+                    ntr = self.actor.get_num_trees()
                 self.curve.append(dict(
                     steps=steps, mean_reward_100=self.mean_reward(),
-                    trees=self.actor.get_num_trees()))
+                    trees=ntr))
                 if self.log_interval and it % self.log_interval == 0:
                     mean100 = (np.mean(self.episode_rewards[-100:])
                                if self.episode_rewards else float("nan"))
                     print(f"iter {it} steps {steps} actor_trees "
-                          f"{self.actor.get_num_trees()} "
-                          f"ep_rew_mean {mean100:.1f}")
+                          f"{ntr} ep_rew_mean {mean100:.1f}")
                 continue
 
             # critic updates: one tree per minibatch regression step

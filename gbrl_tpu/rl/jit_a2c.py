@@ -107,8 +107,14 @@ def run_a2c_update(learner, obs: np.ndarray, actions: np.ndarray,
     Updates the learner in place; returns the stats dict."""
     Xn, Xc = learner._prepare(obs, grow_vocab=False)
     assert Xc is None, "jit A2C update supports numerical features only"
-    learner.ens = ensure_capacity(learner.ens,
-                                  int(learner.ens.n_trees) + 1)
+    # host-side tree counter: int(ens.n_trees) is a device fetch — a full
+    # tunnel round trip per iteration (rl loops own the only mutation path
+    # while training, so the count is exactly tracked on host)
+    nt = getattr(learner, "_rl_host_n_trees", None)
+    if nt is None:
+        nt = int(learner.ens.n_trees)
+    learner.ens = ensure_capacity(learner.ens, nt + 1)
+    learner._rl_host_n_trees = nt + 1
     new_ens, tree, stats = a2c_update(
         learner.cfg, hp, learner.ens, Xn,
         jnp.asarray(np.asarray(actions).astype(np.int32)),

@@ -146,10 +146,18 @@ def run_awr_update(algo, r_obs: np.ndarray, r_act: np.ndarray,
 
     Xn, Xc = actor_lr._prepare(r_obs, grow_vocab=False)
     assert Xc is None, "jit AWR supports numerical features only"
-    actor_lr.ens = ensure_capacity(actor_lr.ens,
-                                   int(actor_lr.ens.n_trees) + Ka)
-    critic_lr.ens = ensure_capacity(critic_lr.ens,
-                                    int(critic_lr.ens.n_trees) + Kc)
+    # host-side tree counters (int(ens.n_trees) is a device fetch — one
+    # tunnel round trip each per iteration)
+    nta = getattr(actor_lr, "_rl_host_n_trees", None)
+    if nta is None:
+        nta = int(actor_lr.ens.n_trees)
+    ntc = getattr(critic_lr, "_rl_host_n_trees", None)
+    if ntc is None:
+        ntc = int(critic_lr.ens.n_trees)
+    actor_lr.ens = ensure_capacity(actor_lr.ens, nta + Ka)
+    critic_lr.ens = ensure_capacity(critic_lr.ens, ntc + Kc)
+    actor_lr._rl_host_n_trees = nta + Ka
+    critic_lr._rl_host_n_trees = ntc + Kc
     hp = AWRHyper(act_dim=algo.act_dim, beta=algo.beta,
                   max_weight=algo.max_weight,
                   learn_std=getattr(algo, "learn_std", True),

@@ -179,10 +179,14 @@ def run_sac_train_step(algo, obs, actions, rewards, next_obs, dones,
     hp = SACHyper(act_dim=algo.act_dim, q_func_type=algo.q_func_type,
                   gamma=algo.gamma, max_grad_norm=algo.max_grad_norm or 0.0)
 
-    actor_lr.ens = ensure_capacity(actor_lr.ens,
-                                   int(actor_lr.ens.n_trees) + 1)
-    for lr in critic_lrs:
-        lr.ens = ensure_capacity(lr.ens, int(lr.ens.n_trees) + 1)
+    # host-side tree counters: int(ens.n_trees)/get_num_trees are device
+    # fetches (a tunnel round trip each, x3 ensembles per gradient step)
+    for lr in [actor_lr] + critic_lrs:
+        nt = getattr(lr, "_rl_host_n_trees", None)
+        if nt is None:
+            nt = int(lr.ens.n_trees)
+        lr.ens = ensure_capacity(lr.ens, nt + 1)
+        lr._rl_host_n_trees = nt + 1
 
     Xn, Xc = actor_lr._prepare(obs, grow_vocab=False)
     assert Xc is None, "jit SAC supports numerical features only"
@@ -205,11 +209,11 @@ def run_sac_train_step(algo, obs, actions, rewards, next_obs, dones,
         lr.ens = ens
         lr.total_iterations += 1
         lr._pred_cache = None
-        n_trees = lr.get_num_trees()
+        n_trees = lr._rl_host_n_trees
         if (n_trees % critic.target_update_interval) == 0:
             critic.target_prefix = n_trees
 
-    out = {k: float(v) for k, v in stats.items()}
+    out = {k: float(v) for k, v in jax.device_get(stats).items()}
     if algo.auto_alpha:
         import torch as th
         algo.alpha_opt.zero_grad()

@@ -196,8 +196,14 @@ def run_ppo_update(learner, obs: np.ndarray, actions: np.ndarray,
 
     Xn, Xc = learner._prepare(obs, grow_vocab=False)
     assert Xc is None, "jit PPO update supports numerical features only"
-    learner.ens = ensure_capacity(learner.ens,
-                                  int(learner.ens.n_trees) + U)
+    # host-side tree counter: int(ens.n_trees) is a device fetch (a full
+    # tunnel round trip per update phase); the RL loop owns the only
+    # mutation path while training
+    nt = getattr(learner, "_rl_host_n_trees", None)
+    if nt is None:
+        nt = int(learner.ens.n_trees)
+    learner.ens = ensure_capacity(learner.ens, nt + U)
+    learner._rl_host_n_trees = nt + U
     fw = learner._internal_feature_weights()
     learner.ens, ent_trace = ppo_update_loop(
         learner.cfg, hp, U, learner.ens, Xn, jnp.asarray(mb_idx),

@@ -255,6 +255,8 @@ class PPO:
                            advantages, returns, hp, self.n_epochs,
                            self.batch_size, rng, valid=valid)
             return
+        # facade path appends trees outside the host counter's view
+        self.model.learner._rl_host_n_trees = None
         n = len(obs)
         na = self.n_actions
         for _ in range(self.n_epochs):
@@ -316,9 +318,12 @@ class PPO:
         from ..ensemble import ensure_capacity
         lr = self.model.learner
         if hasattr(lr, "ens") and lr.ens is not None:
+            n0 = int(lr.ens.n_trees)
             lr.ens = ensure_capacity(
-                lr.ens, int(lr.ens.n_trees)
-                + iters_planned * trees_per_update)
+                lr.ens, n0 + iters_planned * trees_per_update)
+            # host-side tree counter: saves a device fetch per iteration
+            # (jit_update.run_ppo_update maintains it)
+            lr._rl_host_n_trees = n0
         self.curve = []           # per-iteration (steps, mean100, trees)
         steps = 0
         it = 0
@@ -334,14 +339,17 @@ class PPO:
                 self._mirror.sync()
             steps += self.n_steps * self.n_envs * G
             it += 1
+            ntr = getattr(self.model.learner, "_rl_host_n_trees", None)
+            if ntr is None:
+                ntr = self.model.get_num_trees()
             self.curve.append(dict(
                 steps=steps, mean_reward_100=self.mean_reward(),
-                trees=self.model.get_num_trees()))
+                trees=ntr))
             if self.log_interval and it % self.log_interval == 0:
                 mean100 = (np.mean(self.episode_rewards[-100:])
                            if self.episode_rewards else float("nan"))
                 print(f"iter {it} steps {steps} trees "
-                      f"{self.model.get_num_trees()} ep_rew_mean {mean100:.1f}")
+                      f"{ntr} ep_rew_mean {mean100:.1f}")
         return self
 
     def mean_reward(self, last: int = 100) -> float:

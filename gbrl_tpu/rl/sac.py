@@ -162,10 +162,28 @@ class SAC:
 
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
+        self._mirror = None
 
     @property
     def alpha(self) -> float:
         return float(self.log_alpha.exp().detach())
+
+    # ----------------------------------------------------------- host mirror
+    def _get_mirror(self):
+        """Host-resident actor mirror serving per-env-step forwards in
+        microseconds (utils/host_mirror.py) instead of a device round trip
+        per step — the same split as rl/ppo.py / rl/awr.py."""
+        if self._mirror is None:
+            lr = self.actor.learner
+            ok = (all(s.algo == "SGD" for s in lr.specs)
+                  and getattr(lr, "vocab", None) is None
+                  and hasattr(lr, "ens"))
+            if ok:
+                from ..utils.host_mirror import HostMirror
+                self._mirror = HostMirror(lr)
+            else:
+                self._mirror = False
+        return self._mirror or None
 
     # ---------------------------------------------------------------- acting
     def _policy_sample(self, obs: np.ndarray, gen: th.Generator,
@@ -176,6 +194,18 @@ class SAC:
 
     def _act(self, obs: np.ndarray, gen: th.Generator,
              deterministic: bool = False) -> np.ndarray:
+        mirror = self._get_mirror()
+        if mirror is not None:
+            # mirror predictions include the ensemble bias (log_std_init
+            # tail included), same as rl/awr.py _act
+            theta = mirror.predict(np.asarray(obs, dtype=np.float32))
+            A = self.act_dim
+            mu = theta[:, :A]
+            if deterministic:
+                return np.tanh(mu)
+            log_std = np.clip(theta[:, A:], LOG_STD_MIN, LOG_STD_MAX)
+            eps = th.randn(mu.shape, generator=gen).numpy()
+            return np.tanh(mu + np.exp(log_std) * eps).astype(np.float32)
         with th.no_grad():
             mu, log_std = self.actor(obs, requires_grad=False)
             if deterministic:
@@ -268,6 +298,18 @@ class SAC:
     def learn(self, total_timesteps: int, seed: int = 0):
         rng = np.random.default_rng(seed)
         gen = th.Generator().manual_seed(seed)
+        # preallocate ensemble capacity for the whole run: one jit compile
+        # for the fused train step instead of one per power-of-two
+        # capacity crossing (and host-only ensure_capacity afterwards)
+        from ..ensemble import ensure_capacity
+        planned = (total_timesteps // max(self.n_envs * self.train_freq, 1)
+                   + 1) * self.gradient_steps
+        for model in [self.actor] + self.critics:
+            lr = model.learner
+            if hasattr(lr, "ens"):
+                n0 = int(lr.ens.n_trees)
+                lr.ens = ensure_capacity(lr.ens, n0 + planned)
+                lr._rl_host_n_trees = n0
         obs, _ = self.env.reset(seed=seed)
         prev_done = np.zeros(self.n_envs, dtype=bool)
         steps, it = 0, 0
@@ -303,6 +345,8 @@ class SAC:
                     and len(self.buffer) >= self.batch_size):
                 for _ in range(self.gradient_steps):
                     info = self.train_step(gen, rng)
+                if self._get_mirror() is not None:
+                    self._mirror.sync()
                 if self.log_interval and it % self.log_interval == 0:
                     mean100 = (np.mean(self.episode_rewards[-100:])
                                if self.episode_rewards else float("nan"))

@@ -291,11 +291,19 @@ class HostMirror:
         """Pull trees [n_synced, n_trees) + bias from the device ensemble.
         Returns the number of new trees copied."""
         ens = self.learner.ens
-        n = int(ens.n_trees)
+        # host counter / bias version avoid two device fetches per sync
+        # (each is a full tunnel round trip on remote TPUs)
+        n = getattr(self.learner, "_rl_host_n_trees", None)
+        if n is None:
+            n = int(ens.n_trees)
         a = self.n_synced
         if n > self.cap:
             self._grow(n)
-        self.bias = np.asarray(ens.bias, dtype=np.float32).reshape(self.O)
+        bv = getattr(self.learner, "_bias_version", None)
+        if bv is None or bv != getattr(self, "_seen_bias_version", -1):
+            self.bias = np.asarray(ens.bias,
+                                   dtype=np.float32).reshape(self.O)
+            self._seen_bias_version = bv
         if n > a:
             # Fetch new trees through a FIXED-width jitted dynamic_slice:
             # naive device-side slicing (ens.feat[a:n]) builds a new gather
