@@ -1,0 +1,147 @@
+"""BASELINE config 5 head-to-head: AWR (GaussianActor + value critic,
+TD(lambda) advantage-weighted regression) on Pendulum — ours vs the
+UNMODIFIED reference C++ core.
+
+Both sides run the IDENTICAL Python algorithm loop (gbrl_tpu.rl.AWR) and
+IDENTICAL gymnasium envs; the reference side swaps in torch facades over
+the compiled reference core (bench_reference/ref_backend.py:
+RefGaussianActor / RefGBTModel -> ref_shim.cpp), so walls compare the
+cores under the same env cost.  The reference itself ships no AWR driver
+(it delegates algorithms to its companion repo, reference README.md:19) —
+this harness drives the reference core through the same algorithm instead,
+which is the strongest parity comparison available.
+
+Run each side solo (sequentially, idle host) for honest walls:
+
+  python examples/awr_vs_ref.py --side ref  --seeds 0 1 2
+  python examples/awr_vs_ref.py --side ours --seeds 0 1 2
+  python examples/awr_vs_ref.py --side combine
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+sys.path.insert(0, os.path.join(_HERE, "..", "bench_reference"))
+
+import gymnasium as gym
+import numpy as np
+
+from ppo_vs_ref import checkpoint_stats
+
+TREE = dict(max_depth=4, n_bins=256, min_data_in_leaf=0, par_th=2,
+            grow_policy="oblivious")
+HYPERS = dict(actor_lr=0.05, critic_lr=0.05, beta=0.5, log_std_final=-1.4,
+              n_steps=2048, actor_updates=20, critic_updates=60,
+              batch_size=2048)
+N_ENVS = 8
+
+
+def run_side(side: str, env_id: str, steps: int, seed: int, device: str):
+    from gbrl_tpu.rl.awr import AWR
+    env = gym.vector.SyncVectorEnv([lambda: gym.make(env_id)] * N_ENVS)
+    obs_dim = int(np.prod(env.single_observation_space.shape))
+    act_dim = int(np.prod(env.single_action_space.shape))
+    algo = AWR(env, tree_struct=dict(TREE),
+               feature_weights=np.ones(obs_dim),
+               log_interval=20, device=device,
+               jit_update=(side == "ours"), **HYPERS)
+    if side == "ref":
+        from ref_backend import RefGaussianActor, RefGBTModel
+        algo.actor = RefGaussianActor(
+            input_dim=obs_dim, act_dim=act_dim,
+            actor_lr=HYPERS["actor_lr"], log_std_init=-0.5,
+            tree_struct=dict(TREE), batch_size=HYPERS["batch_size"])
+        algo.critic = RefGBTModel(
+            input_dim=obs_dim, lr=HYPERS["critic_lr"],
+            tree_struct=dict(TREE), batch_size=HYPERS["batch_size"])
+        algo._mirrors = None       # reference serves its own CPU predicts
+    t0 = time.time()
+    algo.learn(total_timesteps=steps, seed=seed)
+    wall = time.time() - t0
+    env.close()
+    return dict(seed=seed, wall_s=wall, final_mean100=algo.mean_reward(),
+                actor_trees=algo.actor.get_num_trees(),
+                critic_trees=algo.critic.get_num_trees(),
+                curve=[[c["steps"], c["mean_reward_100"]]
+                       for c in algo.curve])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["ours", "ref", "combine"],
+                    required=True)
+    ap.add_argument("--env-id", default="Pendulum-v1")
+    ap.add_argument("--steps", type=int, default=150_000)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--device", default="tpu")
+    ap.add_argument("--out",
+                    default=os.path.join(_HERE,
+                                         "results_awr_pendulum_vs_ref.json"))
+    args = ap.parse_args()
+    tag = args.env_id.split("-")[0].lower()
+    part = os.path.join(_HERE, f"_awr_{tag}_{{side}}.json")
+
+    if args.side in ("ours", "ref"):
+        runs = []
+        for seed in args.seeds:
+            r = run_side(args.side, args.env_id, args.steps, seed,
+                         args.device)
+            print(f"[{args.side} seed {seed}] final "
+                  f"{r['final_mean100']:.1f} wall {r['wall_s']:.1f}s "
+                  f"actor_trees {r['actor_trees']}", flush=True)
+            runs.append(r)
+        with open(part.format(side=args.side), "w") as f:
+            json.dump(dict(steps=args.steps, runs=runs), f)
+        return
+
+    sides = {}
+    for side in ("ours", "ref"):
+        with open(part.format(side=side)) as f:
+            sides[side] = json.load(f)
+    steps = sides["ours"]["steps"]
+
+    def summarize(runs):
+        return dict(
+            runs=runs, checkpoints=checkpoint_stats(runs, steps),
+            wall_s_per_seed=[round(r["wall_s"], 1) for r in runs],
+            wall_s_mean=float(np.mean([r["wall_s"] for r in runs])),
+            final_mean100_per_seed=[round(r["final_mean100"], 1)
+                                    for r in runs])
+
+    result = dict(
+        description=(
+            "BASELINE config 5 head-to-head on Pendulum-v1: identical AWR "
+            "(GaussianActor fixed-sigma -0.5->-1.4, oblivious cosine d4 "
+            "b256, actor lr 0.05 / critic lr 0.05, beta 0.5, 2048-step "
+            "iterations, 20 actor + 60 critic trees/iter, batch 2048, "
+            "8 envs), identical gymnasium envs and Python loop on both "
+            "sides; reference side = unmodified compiled C++ core via "
+            "bench_reference/ref_shim.cpp driven through the same AWR "
+            "class (the reference ships no AWR driver of its own). Each "
+            "side run solo (sequential seeds, idle host)."),
+        env=args.env_id, total_steps=steps,
+        ours=summarize(sides["ours"]["runs"]),
+        reference=summarize(sides["ref"]["runs"]))
+    om, rm = result["ours"], result["reference"]
+    oc, rc = om["checkpoints"][-1], rm["checkpoints"][-1]
+    spread = max(oc["std"], rc["std"], 1.0)
+    within = abs(oc["mean"] - rc["mean"]) <= 2 * spread
+    result["verdict"] = (
+        f"reward: final mean100 ours {oc['mean']:.1f}±{oc['std']:.1f} vs "
+        f"ref {rc['mean']:.1f}±{rc['std']:.1f} "
+        f"({'within' if within else 'OUTSIDE'} 2x max seed std); "
+        f"wall: ours {om['wall_s_mean']:.1f}s vs ref "
+        f"{rm['wall_s_mean']:.1f}s "
+        f"({rm['wall_s_mean'] / om['wall_s_mean']:.2f}x)")
+    print(result["verdict"], flush=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
