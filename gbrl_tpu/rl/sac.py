@@ -163,6 +163,7 @@ class SAC:
         self.episode_rewards = []
         self._ep_ret = np.zeros(self.n_envs, dtype=np.float64)
         self._mirror = None
+        self._critic_bias_set = False
 
     @property
     def alpha(self) -> float:
@@ -340,6 +341,24 @@ class SAC:
             obs = next_obs
             steps += self.n_envs
             it += 1
+            if (steps >= self.learning_starts
+                    and not self._critic_bias_set
+                    and len(self.buffer) >= self.batch_size):
+                # Jump the critics' value scale immediately (the GBT
+                # analogue of AWR's set_bias_from_targets, rl/awr.py): the
+                # scalar tail of theta (b for linear, c for quadratic/tanh)
+                # starts at 0 while V is O(r_mean/(1-gamma)); bootstrapping
+                # that gap through gamma=0.99 at tree-lr pace needs
+                # thousands of trees the small-budget runs don't have.
+                r_mean = float(np.mean(
+                    self.buffer.rewards[:len(self.buffer)]))
+                v0 = r_mean / max(1.0 - self.gamma, 1e-3)
+                for c in self.critics:
+                    b = np.asarray(c.learner.get_bias(),
+                                   dtype=np.float32).copy()
+                    b[-1] = v0
+                    c.learner.set_bias(b)
+                self._critic_bias_set = True
             if (steps >= self.learning_starts
                     and it % self.train_freq == 0
                     and len(self.buffer) >= self.batch_size):
