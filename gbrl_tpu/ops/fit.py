@@ -52,6 +52,7 @@ NEG_INF = np.float32(-np.inf)
 # / force the pure-XLA path on TPU (bench.py --verify cross-checks the two)
 _FORCE_FUSED_INTERPRET = False
 _DISABLE_FUSED = False
+_DISABLE_FUSED_TREE = False
 
 
 def _l2_of_sum(s: jax.Array, n: jax.Array) -> jax.Array:
@@ -261,9 +262,66 @@ def build_tree(cfg: TreeConfig, Xb: Optional[jax.Array],
     # argmax run in two Pallas kernels per level, replacing ~200 small XLA
     # ops (the dominant per-tree cost; see pallas_kernels.level_score_pallas)
     from .pallas_kernels import (_round_up, hist_vmem_bytes,
-                                 level_histogram_pallas, level_score_pallas)
+                                 level_histogram_pallas, level_score_pallas,
+                                 tree_build_pallas, tree_vmem_bytes, NPMAX)
     BP = _round_up(B + 1, 128)
     on_tpu = jax.default_backend() == "tpu"
+
+    # whole-tree single-kernel path: every level's histogram + scoring +
+    # routing + the leaf aggregation run in ONE Pallas program
+    # (tree_build_pallas) — 1 kernel/tree instead of 2 per level + glue
+    use_fused_tree = (
+        has_num and not has_cat and (on_tpu or _FORCE_FUSED_INTERPRET)
+        and not _DISABLE_FUSED and not _DISABLE_FUSED_TREE
+        and (1 << (D - 1)) <= NPMAX
+        and tree_vmem_bytes(N, F, B, O) <= 12 * 1024 * 1024)
+    if use_fused_tree:
+        cand_flat = jnp.pad(cand_vals, ((0, 0), (0, BP - B)),
+                            constant_values=np.nan).reshape(1, F * BP)
+        fw_flat = jnp.repeat(feat_w, BP)[None, :]
+        bgw = jnp.concatenate(
+            [build_grads * sample_w[:, None], sample_w[:, None]], axis=-1)
+        wg = jnp.concatenate(
+            [grads * sample_w[:, None], sample_w[:, None]], axis=-1)
+        packed, leafp = tree_build_pallas(
+            Xb, cand_flat, fw_flat, bgw, wg, max_depth=D, n_bins=B,
+            out_dim=O, score=score_fn, min_data=cfg.min_data_in_leaf,
+            oblivious=oblivious, interpret=not on_tpu)
+        pk = packed.reshape(D, NPMAX, 128)
+        lv_feat, lv_thr, lv_code = [], [], []
+        lv_split, lv_isnum, lv_cnt = [], [], []
+        depth_reached = jnp.zeros((), dtype=jnp.int32)
+        for d in range(D):
+            k = 1 << d
+            midx = pk[d, :k, 0].astype(jnp.int32)
+            cnt = pk[d, :k, 2]
+            do_split = pk[d, :k, 4] > 0.5
+            f_num = midx // max(B, 1)
+            b_num = midx % max(B, 1)
+            v_sel = cand_vals[f_num, b_num]
+            lv_feat.append(jnp.where(do_split, f_num, -1))
+            lv_thr.append(jnp.where(do_split, v_sel, 0.0))
+            lv_code.append(jnp.full((k,), -1, dtype=jnp.int32))
+            lv_isnum.append(jnp.ones((k,), dtype=bool))
+            lv_split.append(do_split)
+            lv_cnt.append(cnt)
+            depth_reached = jnp.where(jnp.any(do_split), d + 1,
+                                      depth_reached)
+        leaf_cnt = leafp[:L, O]
+        safe = jnp.where(leaf_cnt > 0, leaf_cnt, 1.0)
+        leaf_values = jnp.where(leaf_cnt[:, None] > 0,
+                                leafp[:L, :O] / safe[:, None], 0.0)
+        counts_arr = jnp.concatenate(lv_cnt + [leaf_cnt])
+        return dict(
+            feat=jnp.concatenate(lv_feat),
+            thr=jnp.concatenate(lv_thr),
+            cat_code=jnp.concatenate(lv_code),
+            is_split=jnp.concatenate(lv_split),
+            is_numeric=jnp.concatenate(lv_isnum),
+            leaf_values=leaf_values,
+            counts=counts_arr,
+            depth=depth_reached,
+        )
     use_fused_level = (
         has_num and not has_cat and (on_tpu or _FORCE_FUSED_INTERPRET)
         and not _DISABLE_FUSED

@@ -350,6 +350,361 @@ def level_score_pallas(hist: jax.Array, blocked: jax.Array,
     )(hist, blocked, feat_w)
 
 
+NPMAX = 8   # max internal nodes per level the fused tree kernel supports
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_depth", "n_bins", "out_dim", "score", "min_data", "oblivious",
+    "tile", "interpret"))
+def tree_build_pallas(Xb: jax.Array, cand_flat: jax.Array,
+                      fw_flat: jax.Array, bgw: jax.Array, wg: jax.Array,
+                      *, max_depth: int, n_bins: int, out_dim: int,
+                      score: str, min_data: int, oblivious: bool,
+                      tile: int = HIST_TILE, interpret: bool = False):
+    """ONE Pallas program that fits a whole tree: for each level, the
+    (node, feature, bucket) gradient histogram accumulates over N-tiles
+    (bf16 hi/mid/lo one-hot MXU contraction, as level_histogram_pallas),
+    then a score step runs prefix sums -> L2/cosine scores -> no-reuse /
+    min-data masks -> feature weights -> parent subtraction -> tolerance
+    first-argmax IN THE SAME KERNEL, storing the selection in VMEM scratch;
+    the next level's tile steps re-route their samples from those stored
+    selections, and a final phase aggregates leaf sums/counts.  Nothing
+    but the [D*8, 128] selection pack and the [L, 128] leaf pack ever
+    reaches HBM — the per-level path (2 pallas calls + ~15 XLA glue ops
+    per level, 8 kernels/tree at D=4) collapses to ONE kernel per tree.
+
+    Semantics identical to ops/fit.build_tree's fused-level path (itself
+    parity-tested against the XLA path and the compiled reference).
+    Numeric features only; requires 2^(D-1) <= 8 internal nodes per level.
+
+    Args:
+      Xb        [N, F] int32 bucket ids
+      cand_flat [1, F*BP] candidate values in f-major lanes (NaN padding)
+      fw_flat   [1, F*BP] per-lane feature weights
+      bgw       [N, O+1] build_grads * w | w  (scoring gradients)
+      wg        [N, O+1] grads * w | w        (leaf-value gradients)
+
+    Returns (packed [D*8, 128], leaf [L_pad8, 128]):
+      packed row d*8+n: col 0 merged best idx (f*n_bins+b), 1 best score,
+      2 node count, 3 parent score, 4 do_split, 8:8+O node grad sums.
+      leaf row l: cols 0:O raw-grad sums, col O count.
+    """
+    N, F = Xb.shape
+    D = max_depth
+    L = 1 << D
+    Lp = _round_up(L, 8)
+    O = out_dim
+    BP = _round_up(n_bins + 1, 128)
+    FBP = F * BP
+    C = NPMAX * (O + 1)
+    nb1 = n_bins     # last valid bucket lane (count marginal), == n_buckets-1
+    NEG = np.float32(-np.inf)
+    t = min(tile, _round_up(N, 8))
+    while t > 64 and 2 * t * FBP > 8 * 1024 * 1024:
+        t //= 2
+    pad = (-N) % t
+    if pad:
+        Xb = jnp.pad(Xb, ((0, pad), (0, 0)))
+        bgw = jnp.pad(bgw, ((0, pad), (0, 0)))
+        wg = jnp.pad(wg, ((0, pad), (0, 0)))
+    n_tiles = Xb.shape[0] // t
+    mem = pl.ANY if interpret else pltpu.VMEM
+
+    def kernel(xb_ref, cand_ref, fw_ref, bgw_ref, wg_ref,
+               out_ref, leaf_ref, oh_ref, hist_ref, blk_ref, sel_ref):
+        d = pl.program_id(0)
+        i = pl.program_id(1)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, FBP), 1)
+        lane_b = lane_q - (lane_q // BP) * BP
+        lane_f = lane_q // BP
+
+        @pl.when((d == 0) & (i == 0))
+        def _init():
+            sel_ref[:] = jnp.zeros_like(sel_ref)
+            # no-reuse mask starts with only the padding lanes blocked
+            padmask = (lane_b >= n_bins).astype(jnp.float32)
+            blk_ref[:] = jnp.broadcast_to(padmask, (NPMAX, FBP))
+
+        @pl.when(i == 0)
+        def _zero_hist():
+            hist_ref[:] = jnp.zeros_like(hist_ref)
+
+        def routed_rel(xb_f32, upto):
+            """[t, 1] node index after routing through levels [0, upto).
+
+            Full 128-lane layout: lanes >= NPMAX carry zeros in the
+            selection rows (do_split 0), so they never fire."""
+            rel = jnp.zeros((t, 1), dtype=jnp.int32)
+            iota128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            iotaF = jax.lax.broadcasted_iota(jnp.int32, (F, 128), 0)
+            for dd in range(D):
+                fs = sel_ref[dd * 8:dd * 8 + 1, :]            # [1, 128]
+                bs = sel_ref[dd * 8 + 1:dd * 8 + 2, :]
+                ds_ = sel_ref[dd * 8 + 2:dd * 8 + 3, :]
+                ds_ = jnp.where(dd < upto, ds_, 0.0)
+                foh = (iotaF == fs.astype(jnp.int32)
+                       ).astype(jnp.float32)                  # [F, 128]
+                xsel = jax.lax.dot_general(
+                    xb_f32, foh, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)       # [t, 128]
+                gok = (xsel > bs) & (ds_ > 0.5)
+                noh = rel == iota128                          # [t, 128]
+                go = jnp.sum(jnp.where(noh & gok, 1.0, 0.0),
+                             axis=1, keepdims=True)
+                # descend only the first `upto` levels: doubling past them
+                # would left-shift rel by (D - upto)
+                rel = jnp.where(dd < upto, 2 * rel + go.astype(jnp.int32),
+                                rel)
+            return rel
+
+        # ---------------- tile steps: histogram accumulation / leaf agg
+        @pl.when((i < n_tiles) & (d < D))
+        def _tile():
+            xb = xb_ref[:]                                    # [t, F]
+            rel = routed_rel(xb.astype(jnp.float32), d)
+            iota128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            noh = (rel == iota128).astype(jnp.float32)        # [t, 128]
+            g = bgw_ref[:]                                    # [t, O+1]
+            nd = jnp.concatenate(
+                [g * noh[:, k:k + 1] for k in range(NPMAX)], axis=1)
+            nd_hi = nd.astype(jnp.bfloat16)
+            r1 = nd - nd_hi.astype(jnp.float32)
+            nd_mid = r1.astype(jnp.bfloat16)
+            nd_lo = (r1 - nd_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            nd3 = jnp.concatenate([nd_hi, nd_mid, nd_lo], axis=1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (t, BP), 1)
+            for f in range(F):
+                oh_ref[:, f * BP:(f + 1) * BP] = (
+                    xb[:, f][:, None] == iota).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                nd3, oh_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [3C, FBP]
+            hist_ref[:] += part[:C] + part[C:2 * C] + part[2 * C:]
+
+        @pl.when((i < n_tiles) & (d == D))
+        def _leaf_tile():
+            @pl.when(i == 0)
+            def _():
+                leaf_ref[:] = jnp.zeros_like(leaf_ref)
+            xb = xb_ref[:]
+            rel = routed_rel(xb.astype(jnp.float32), D)       # [t, 1]
+            iotaL = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            ohl = (rel == iotaL).astype(jnp.float32)          # [t, L]
+            acc = jax.lax.dot_general(
+                ohl, wg_ref[:], (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)           # [L, O+1]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Lp, 128), 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (Lp, 128), 0)
+            upd = jnp.zeros((Lp, 128), dtype=jnp.float32)
+            for o in range(O + 1):
+                colv = jnp.pad(
+                    jnp.broadcast_to(acc[:, o:o + 1], (L, 128)),
+                    ((0, Lp - L), (0, 0)))
+                upd = upd + jnp.where((cols == o) & (rows < L), colv, 0.0)
+            leaf_ref[:] += upd
+
+        # ---------------- score step: select this level's splits
+        @pl.when((i == n_tiles) & (d < D))
+        def _score():
+            h = hist_ref[:]
+            r = jax.lax.broadcasted_iota(jnp.int32, (BP, BP), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (BP, BP), 1)
+            U = (r <= c).astype(jnp.float32)
+            cs = jnp.concatenate(
+                [jax.lax.dot_general(h[:, f * BP:(f + 1) * BP], U,
+                                     (((1,), (0,)), ((), ())),
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+                 for f in range(F)], axis=1)                  # [C, FBP]
+            fw = fw_ref[:]
+            md = jnp.float32(min_data)
+            n_active = jnp.int32(1) << d
+
+            def node_adj(n):
+                sl = n * (O + 1)
+                cl = cs[sl + O:sl + O + 1, :]
+                ct = cs[sl + O, nb1]
+                cr = ct - cl
+                l2l = jnp.zeros_like(cl)
+                l2r = jnp.zeros_like(cl)
+                tots = []
+                for o in range(O):
+                    lo = cs[sl + o:sl + o + 1, :]
+                    tt = cs[sl + o, nb1]
+                    tots.append(tt)
+                    l2l = l2l + lo * lo
+                    ro = tt - lo
+                    l2r = l2r + ro * ro
+                sL = jnp.where(cl > 0, l2l / jnp.where(cl > 0, cl, 1.0),
+                               0.0)
+                sR = jnp.where(cr > 0, l2r / jnp.where(cr > 0, cr, 1.0),
+                               0.0)
+                s = sL + sR
+                if score == "cosine":
+                    s = jnp.where(s > 0,
+                                  jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+                if min_data > 0:
+                    s = jnp.where((cl < md) | (cr < md), NEG, s)
+                s = s * fw
+                s = jnp.where(blk_ref[n:n + 1, :] > 0.5, NEG, s)
+                tot_sq = sum(tt * tt for tt in tots)
+                p = jnp.where(ct > 0,
+                              tot_sq / jnp.where(ct > 0, ct, 1.0), 0.0)
+                if score == "cosine":
+                    p = jnp.where(p > 0,
+                                  jnp.sqrt(jnp.where(p > 0, p, 1.0)), 0.0)
+                parent = jnp.where(d == 0, 0.0, p)
+                return s, parent, ct, tots
+
+            def first_argmax(adj, base_extra):
+                m = jnp.max(adj)
+                tol = jnp.where(jnp.isfinite(m),
+                                (jnp.abs(m) + base_extra) * 2e-6, 0.0)
+                selm = adj >= m - tol
+                q = jnp.min(jnp.where(selm, lane_q, jnp.int32(FBP)))
+                fs = q // BP
+                midx = fs * n_bins + (q - fs * BP)
+                val = jnp.max(jnp.where(lane_q == q, adj, NEG))
+                return midx, val
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, (NPMAX, 128), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (NPMAX, 128), 1)
+            acc = jnp.zeros((NPMAX, 128), dtype=jnp.float32)
+            selacc = jnp.zeros((NPMAX, 128), dtype=jnp.float32)
+
+            def put(n, col, v):
+                return jnp.where((rows == n) & (cols == col),
+                                 v.astype(jnp.float32), 0.0)
+
+            def putsel(row, n, v):
+                return jnp.where((rows == row) & (cols == n),
+                                 v.astype(jnp.float32), 0.0)
+
+            per_node = []
+            for n in range(NPMAX):
+                s, parent, ct, tots = node_adj(n)
+                active = jnp.int32(n) < n_active
+                per_node.append((s, parent, ct, tots, active))
+
+            if oblivious:
+                total = jnp.zeros((1, FBP), dtype=jnp.float32)
+                for s, _, ct, tots, active in per_node:
+                    total = total + jnp.where(active, s, 0.0)
+                total = jnp.where(jnp.isnan(total), NEG, total)
+                midx, val = first_argmax(total, jnp.float32(0.0))
+                prev = sel_ref[pl.ds(jnp.maximum(d - 1, 0) * 8, 8), :]
+                alive_read = jnp.max(
+                    jnp.where((rows == 3) & (cols == 0), prev, NEG))
+                alive_prev = jnp.where(d == 0, 1.0, alive_read)
+                alive = jnp.where((alive_prev > 0.5) & (val > NEG),
+                                  1.0, 0.0)
+                fsel = midx // n_bins
+                bsel = midx % n_bins
+                for n, (s, _, ct, tots, active) in enumerate(per_node):
+                    dsplit = jnp.where(active, alive, 0.0)
+                    acc = (acc + put(n, 0, midx) + put(n, 1, val)
+                           + put(n, 2, ct) + put(n, 4, dsplit))
+                    for o, tt in enumerate(tots):
+                        acc = acc + put(n, 8 + o, tt)
+                    selacc = (selacc + putsel(0, n, fsel)
+                              + putsel(1, n, bsel)
+                              + putsel(2, n, dsplit))
+                selacc = selacc + putsel(3, 0, alive)
+            else:
+                for n, (s, parent, ct, tots, active) in enumerate(per_node):
+                    adj = s - parent
+                    adj = jnp.where(jnp.isnan(adj), NEG, adj)
+                    midx, val = first_argmax(adj, jnp.abs(parent))
+                    dsplit = jnp.where(active & (val >= 0) & (ct > 0),
+                                       1.0, 0.0)
+                    acc = (acc + put(n, 0, midx) + put(n, 1, val)
+                           + put(n, 2, ct) + put(n, 3, parent)
+                           + put(n, 4, dsplit))
+                    for o, tt in enumerate(tots):
+                        acc = acc + put(n, 8 + o, tt)
+                    selacc = (selacc
+                              + putsel(0, n, midx // n_bins)
+                              + putsel(1, n, midx % n_bins)
+                              + putsel(2, n, dsplit))
+
+            out_ref[pl.ds(d * 8, 8), :] = acc
+            sel_ref[pl.ds(d * 8, 8), :] = selacc
+
+            # no-reuse masks for the children (skipped at the last level):
+            # chosen = same feature AND same candidate VALUE (duplicate
+            # grid entries block together, node.cpp:153-166)
+            @pl.when(d < D - 1)
+            def _blk():
+                blk = blk_ref[:]                              # [8, FBP]
+                cand = cand_ref[:]                            # [1, FBP]
+                rows8 = jax.lax.broadcasted_iota(
+                    jnp.int32, (NPMAX, FBP), 0)
+                new_blk = jnp.zeros((NPMAX, FBP), dtype=jnp.float32)
+                for n in range(NPMAX // 2):
+                    s, parent, ct, tots, active = per_node[n]
+                    fs_n = selacc[0, n]
+                    bs_n = selacc[1, n]
+                    ds_n = selacc[2, n]
+                    q_n = (fs_n.astype(jnp.int32) * BP
+                           + bs_n.astype(jnp.int32))
+                    vsel = jnp.max(jnp.where(lane_q == q_n, cand, NEG))
+                    chosen = ((lane_f == fs_n.astype(jnp.int32))
+                              & (cand == vsel)
+                              & (ds_n > 0.5)).astype(jnp.float32)
+                    row = jnp.maximum(blk[n:n + 1, :], chosen)
+                    new_blk = new_blk + jnp.where(
+                        (rows8 == 2 * n) | (rows8 == 2 * n + 1), row, 0.0)
+                blk_ref[:] = new_blk
+
+    out1, out2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((D * 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, 128), jnp.float32)),
+        grid=(D + 1, n_tiles + 1),
+        in_specs=[
+            pl.BlockSpec((t, F),
+                         lambda d, i: (jnp.minimum(i, n_tiles - 1), 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, FBP), lambda d, i: (0, 0), memory_space=mem),
+            pl.BlockSpec((1, FBP), lambda d, i: (0, 0), memory_space=mem),
+            pl.BlockSpec((t, O + 1),
+                         lambda d, i: (jnp.minimum(i, n_tiles - 1), 0),
+                         memory_space=mem),
+            pl.BlockSpec((t, O + 1),
+                         lambda d, i: (jnp.minimum(i, n_tiles - 1), 0),
+                         memory_space=mem),
+        ],
+        out_specs=(pl.BlockSpec((D * 8, 128), lambda d, i: (0, 0),
+                                memory_space=mem),
+                   pl.BlockSpec((Lp, 128), lambda d, i: (0, 0),
+                                memory_space=mem)),
+        scratch_shapes=[
+            pltpu.VMEM((t, FBP), jnp.bfloat16),       # bucket one-hot
+            pltpu.VMEM((C, FBP), jnp.float32),        # level histogram
+            pltpu.VMEM((NPMAX, FBP), jnp.float32),    # no-reuse mask
+            pltpu.VMEM((D * 8, 128), jnp.float32),    # per-level selection
+        ],
+        interpret=interpret,
+    )(Xb, cand_flat, fw_flat, bgw, wg)
+    return out1, out2
+
+
+def tree_vmem_bytes(N: int, F: int, n_bins: int, out_dim: int,
+                    tile: int = HIST_TILE) -> int:
+    """Estimated VMEM residency of tree_build_pallas (guard input)."""
+    BP = _round_up(n_bins + 1, 128)
+    FBP = F * BP
+    t = min(tile, _round_up(N, 8))
+    while t > 64 and 2 * t * FBP > 8 * 1024 * 1024:
+        t //= 2
+    C = NPMAX * (out_dim + 1)
+    scratch = 2 * t * FBP + 4 * C * FBP + 4 * NPMAX * FBP
+    score_regs = 4 * C * FBP + 4 * BP * BP
+    return scratch + score_regs + 4 * t * (F + 2 * (out_dim + 1))
+
+
 PREDICT_TILE = 512
 PREDICT_CHUNK = 128   # trees per chunk == lane width
 

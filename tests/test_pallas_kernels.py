@@ -110,6 +110,55 @@ def test_fused_level_path_matches_xla(policy, score):
     Xb = bucketize(X, cand)
     t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
+    fitmod._DISABLE_FUSED_TREE = True
+    try:
+        t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._FORCE_FUSED_INTERPRET = False
+        fitmod._DISABLE_FUSED_TREE = False
+    np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
+                                  np.asarray(t_fused["feat"]))
+    np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
+                                  np.asarray(t_fused["is_split"]))
+    np.testing.assert_allclose(np.asarray(t_xla["thr"]),
+                               np.asarray(t_fused["thr"]))
+    np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
+                               np.asarray(t_fused["leaf_values"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_xla["counts"]),
+                               np.asarray(t_fused["counts"]))
+
+
+@pytest.mark.parametrize("policy,score", [("greedy", "cosine"),
+                                          ("greedy", "l2"),
+                                          ("oblivious", "cosine"),
+                                          ("oblivious", "l2")])
+def test_fused_tree_kernel_matches_xla(policy, score):
+    """The single-kernel whole-tree path (tree_build_pallas, interpret
+    mode) must produce the identical tree as the pure-XLA pipeline —
+    structure, thresholds, leaf values, counts — across grow policies and
+    scores, including the cross-level no-reuse masks and routing."""
+    import jax.numpy as jnp
+    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ops import fit as fitmod
+    from gbrl_tpu.ops.candidates import bucketize, numerical_candidates
+    from gbrl_tpu.ops.fit import build_tree
+
+    rng = np.random.default_rng(21)
+    N, F, O, B, D = 700, 5, 3, 16, 4
+    cfg = TreeConfig(input_dim=F, output_dim=O, n_num_features=F,
+                     max_depth=D, n_bins=B, grow_policy=policy,
+                     split_score_func=score, generator_type="quantile")
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    w, fw = jnp.ones(N), jnp.ones(F)
+    cand = numerical_candidates(cfg, X)
+    Xb = bucketize(X, cand)
+    fitmod._DISABLE_FUSED_TREE = True
+    try:
+        t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._DISABLE_FUSED_TREE = False
+    fitmod._FORCE_FUSED_INTERPRET = True
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
@@ -121,9 +170,51 @@ def test_fused_level_path_matches_xla(policy, score):
     np.testing.assert_allclose(np.asarray(t_xla["thr"]),
                                np.asarray(t_fused["thr"]))
     np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
-                               np.asarray(t_fused["leaf_values"]), atol=1e-5)
+                               np.asarray(t_fused["leaf_values"]),
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_xla["counts"]),
                                np.asarray(t_fused["counts"]))
+    assert int(t_xla["depth"]) == int(t_fused["depth"])
+
+
+def test_fused_tree_kernel_min_data_and_weights():
+    """min_data_in_leaf, masked sample weights and non-uniform feature
+    weights flow through the whole-tree kernel identically to XLA."""
+    import jax.numpy as jnp
+    from gbrl_tpu.config import TreeConfig
+    from gbrl_tpu.ops import fit as fitmod
+    from gbrl_tpu.ops.candidates import bucketize, numerical_candidates
+    from gbrl_tpu.ops.fit import build_tree
+
+    rng = np.random.default_rng(22)
+    N, F, O, B, D = 400, 4, 2, 8, 3
+    cfg = TreeConfig(input_dim=F, output_dim=O, n_num_features=F,
+                     max_depth=D, n_bins=B, grow_policy="greedy",
+                     split_score_func="cosine", generator_type="uniform",
+                     min_data_in_leaf=20)
+    X = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(N, O)).astype(np.float32))
+    w = jnp.asarray((rng.random(N) > 0.2).astype(np.float32))
+    fw = jnp.asarray(np.array([1.0, 0.1, 2.0, 0.0], dtype=np.float32))
+    cand = numerical_candidates(cfg, X)
+    Xb = bucketize(X, cand)
+    fitmod._DISABLE_FUSED_TREE = True
+    try:
+        t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._DISABLE_FUSED_TREE = False
+    fitmod._FORCE_FUSED_INTERPRET = True
+    try:
+        t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
+    finally:
+        fitmod._FORCE_FUSED_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
+                                  np.asarray(t_fused["feat"]))
+    np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
+                                  np.asarray(t_fused["is_split"]))
+    np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
+                               np.asarray(t_fused["leaf_values"]),
+                               atol=1e-5)
 
 
 def test_fused_level_path_min_data_and_weights():
@@ -149,10 +240,12 @@ def test_fused_level_path_min_data_and_weights():
     Xb = bucketize(X, cand)
     t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
+    fitmod._DISABLE_FUSED_TREE = True
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
         fitmod._FORCE_FUSED_INTERPRET = False
+        fitmod._DISABLE_FUSED_TREE = False
     np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
                                   np.asarray(t_fused["feat"]))
     np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
