@@ -46,7 +46,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 N, F, O = 4096, 16, 3
-ITERS = 400
+ITERS = 1600
 WARMUP = 1
 
 
@@ -105,20 +105,24 @@ def bench_policy(policy, trace_dir=None):
     specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0, stop_idx=O),)
     cap = 1 << ((WARMUP + 1) * ITERS - 1).bit_length()
 
+    @jax.jit
     def run(ens):
         ens, loss, _ = fit_loop(cfg, ITERS, ens, X, y, jnp.int32(N), specs,
                                 fw, None, None, 0)
-        return ens
+        # checksum depends on every fitted tree: the timing fetch closes on
+        # a scalar (what a real training loop consumes) instead of paying a
+        # ~786KB leaf-array transfer through the tunnel
+        return ens, jnp.sum(ens.leaf_values) + loss
 
     ens = init_ensemble(cfg, capacity=cap)
     for _ in range(WARMUP):
-        ens = run(ens)
-    _fetch(ens.leaf_values)
+        ens, chk = run(ens)
+    _fetch(chk)
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
-    ens = run(ens)
-    _fetch(ens.leaf_values)
+    ens, chk = run(ens)
+    _fetch(chk)
     dt = time.perf_counter() - t0
     if trace_dir:
         jax.profiler.stop_trace()

@@ -74,9 +74,6 @@ def main():
     ap.add_argument("--merge-only", action="store_true",
                     help="reuse the 'ours' runs already in --out; only "
                          "re-merge the reference JSONs and verdict")
-    ap.add_argument("--ref-wall", type=float, default=0.0,
-                    help="override reference wall_s_mean (e.g. solo-run "
-                         "wall when the per-seed runs were contended)")
     args = ap.parse_args()
 
     if args.merge_only:
@@ -113,15 +110,12 @@ def main():
                 with open(p) as f:
                     refs.append(json.load(f))
         if refs:
-            ref_wall = args.ref_wall or float(
-                np.mean([r["wall_s"] for r in refs]))
+            ref_wall = float(np.mean([r["wall_s"] for r in refs]))
             result["reference"] = dict(
                 runs=refs,
                 checkpoints=checkpoint_stats(refs, args.steps),
                 wall_s_mean=ref_wall,
-                wall_note=("solo-run wall-clock (per-seed runs above were "
-                           "executed concurrently and contended)"
-                           if args.ref_wall else "mean of per-seed runs"),
+                wall_note="mean of per-seed SOLO (sequential) runs",
                 final_mean100_per_seed=[round(r["curve"][-1][1], 1)
                                         for r in refs])
             # compare the PLATEAU (mean of the last 3 checkpoints across

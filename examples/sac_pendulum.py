@@ -6,6 +6,16 @@ Q-function *parameters* theta(s) (linear / quadratic / tanh forms,
 reference gbrl/models/critic.py:42-54) so dQ/da is analytic, and the
 target network is the ensemble prefix — older trees, no polyak copies.
 
+STATUS (documented honestly, see ROADMAP.md): SAC learns contextual-bandit
+tasks (tests/test_sac.py) and runs at full speed (~330 env-steps/s with the
+host-mirror rollout + fused train step), but does NOT solve Pendulum at
+small GBT budgets.  Diagnosed, not just observed: after 20k steps the
+critic's value head varies only ±18 across states (true V spans ~900), so
+dQ/da gives the actor no useful signal; entropy floors, hotter critics,
+value-scale bias jumps, and lower gammas were all swept without success.
+The bootstrapped-TD + tree-budget combination needs a different critic
+design (e.g. n-step/Retrace targets); treat in-repo SAC as experimental.
+
 Usage: python examples/sac_pendulum.py [--steps 30000] [--q-func quadratic]
 """
 import argparse

@@ -52,7 +52,14 @@ NEG_INF = np.float32(-np.inf)
 # / force the pure-XLA path on TPU (bench.py --verify cross-checks the two)
 _FORCE_FUSED_INTERPRET = False
 _DISABLE_FUSED = False
-_DISABLE_FUSED_TREE = False
+# The single-kernel whole-tree path (pallas_kernels.tree_build_pallas) is
+# parity-tested but measured SLOWER than the per-level two-kernel path on
+# real TPU (336 vs 157 us/tree at the bench shape): its static per-level
+# histogram width (NPMAX nodes at every level) does ~2.1x the MXU work of
+# the level-sized kernels, and re-routing samples from scratch each phase
+# adds D redundant passes.  Kept opt-in for shapes where launch overhead
+# dominates compute (tiny batches).
+_DISABLE_FUSED_TREE = True
 
 
 def _l2_of_sum(s: jax.Array, n: jax.Array) -> jax.Array:

@@ -110,12 +110,10 @@ def test_fused_level_path_matches_xla(policy, score):
     Xb = bucketize(X, cand)
     t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
-    fitmod._DISABLE_FUSED_TREE = True
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
         fitmod._FORCE_FUSED_INTERPRET = False
-        fitmod._DISABLE_FUSED_TREE = False
     np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
                                   np.asarray(t_fused["feat"]))
     np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
@@ -153,16 +151,14 @@ def test_fused_tree_kernel_matches_xla(policy, score):
     w, fw = jnp.ones(N), jnp.ones(F)
     cand = numerical_candidates(cfg, X)
     Xb = bucketize(X, cand)
-    fitmod._DISABLE_FUSED_TREE = True
-    try:
-        t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
-    finally:
-        fitmod._DISABLE_FUSED_TREE = False
+    t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
+    fitmod._DISABLE_FUSED_TREE = False
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
         fitmod._FORCE_FUSED_INTERPRET = False
+        fitmod._DISABLE_FUSED_TREE = True
     np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
                                   np.asarray(t_fused["feat"]))
     np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
@@ -198,16 +194,14 @@ def test_fused_tree_kernel_min_data_and_weights():
     fw = jnp.asarray(np.array([1.0, 0.1, 2.0, 0.0], dtype=np.float32))
     cand = numerical_candidates(cfg, X)
     Xb = bucketize(X, cand)
-    fitmod._DISABLE_FUSED_TREE = True
-    try:
-        t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
-    finally:
-        fitmod._DISABLE_FUSED_TREE = False
+    t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
+    fitmod._DISABLE_FUSED_TREE = False
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
         fitmod._FORCE_FUSED_INTERPRET = False
+        fitmod._DISABLE_FUSED_TREE = True
     np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
                                   np.asarray(t_fused["feat"]))
     np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
@@ -240,12 +234,10 @@ def test_fused_level_path_min_data_and_weights():
     Xb = bucketize(X, cand)
     t_xla = build_tree(cfg, Xb, cand, g, g, w, fw)
     fitmod._FORCE_FUSED_INTERPRET = True
-    fitmod._DISABLE_FUSED_TREE = True
     try:
         t_fused = build_tree(cfg, Xb, cand, g, g, w, fw)
     finally:
         fitmod._FORCE_FUSED_INTERPRET = False
-        fitmod._DISABLE_FUSED_TREE = False
     np.testing.assert_array_equal(np.asarray(t_xla["feat"]),
                                   np.asarray(t_fused["feat"]))
     np.testing.assert_array_equal(np.asarray(t_xla["is_split"]),
