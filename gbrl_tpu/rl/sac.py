@@ -350,9 +350,13 @@ class SAC:
                 # starts at 0 while V is O(r_mean/(1-gamma)); bootstrapping
                 # that gap through gamma=0.99 at tree-lr pace needs
                 # thousands of trees the small-budget runs don't have.
-                r_mean = float(np.mean(
-                    self.buffer.rewards[:len(self.buffer)]))
-                v0 = r_mean / max(1.0 - self.gamma, 1e-3)
+                n0 = len(self.buffer)
+                r_mean = float(np.mean(self.buffer.rewards[:n0]))
+                d_mean = float(np.mean(self.buffer.dones[:n0]))
+                # geometric-series value scale with the observed terminal
+                # rate: v0 = r_mean for pure bandits (d=1), r/(1-gamma)
+                # for continuing tasks (d=0)
+                v0 = r_mean / max(1.0 - self.gamma * (1.0 - d_mean), 1e-3)
                 for c in self.critics:
                     b = np.asarray(c.learner.get_bias(),
                                    dtype=np.float32).copy()
