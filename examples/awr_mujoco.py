@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--feature-weights", choices=["uniform", "shap"],
                     default="shap")
+    ap.add_argument("--gamma", type=float, default=0.99)
     ap.add_argument("--fw-pilot-steps", type=int, default=30_000)
     args = ap.parse_args()
 
@@ -82,7 +83,7 @@ def main():
                tree_struct=dict(max_depth=4, n_bins=256, min_data_in_leaf=0,
                                 par_th=2, grow_policy="oblivious"),
                actor_lr=0.05, critic_lr=0.05, beta=0.5,
-               log_std_final=-1.4,
+               gamma=args.gamma, log_std_final=-1.4,
                n_steps=2048, actor_updates=20, critic_updates=60,
                batch_size=2048, feature_weights=fw,
                log_interval=10, device=args.device)
@@ -107,6 +108,7 @@ def main():
                        f"fixed-sigma(-0.5->-1.4) grad-clip10"),
             "env": args.env, "steps": args.steps, "seed": args.seed,
             "n_envs": args.n_envs, "device": args.device,
+            "gamma": args.gamma,
             "feature_weights_mode": args.feature_weights,
             "feature_weights": [round(float(x), 3) for x in fw],
             "final_mean_reward_100": float(algo.mean_reward()),
