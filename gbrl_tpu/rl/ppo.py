@@ -57,12 +57,17 @@ class PPO:
             grow_policy="greedy"))
         params = dict(params or dict(split_score_func="cosine",
                                      generator_type="Quantile"))
+        popt = {"policy_algo": "SGD", "policy_lr": policy_lr,
+                "start_idx": 0, "stop_idx": n_actions}
+        vopt = {"value_algo": "SGD", "value_lr": value_lr,
+                "start_idx": n_actions, "stop_idx": out_dim}
+        if total_iterations is not None:
+            # "lin_<lr>" schedules anneal over T trees (reference
+            # scheduler.h:124-133; optimizer-dict "T" convention)
+            popt["T"] = vopt["T"] = int(total_iterations)
         self.model = ActorCritic(
             tree_struct=tree_struct, input_dim=obs_dim, output_dim=out_dim,
-            policy_optimizer={"policy_algo": "SGD", "policy_lr": policy_lr,
-                              "start_idx": 0, "stop_idx": n_actions},
-            value_optimizer={"value_algo": "SGD", "value_lr": value_lr,
-                             "start_idx": n_actions, "stop_idx": out_dim},
+            policy_optimizer=popt, value_optimizer=vopt,
             shared_tree_struct=True, params=params, device=device)
         self.n_steps = n_steps
         self.batch_size = batch_size
