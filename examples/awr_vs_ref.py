@@ -40,7 +40,8 @@ HYPERS = dict(actor_lr=0.05, critic_lr=0.05, beta=0.5, log_std_final=-1.4,
 N_ENVS = 8
 
 
-def run_side(side: str, env_id: str, steps: int, seed: int, device: str):
+def run_side(side: str, env_id: str, steps: int, seed: int, device: str,
+             hypers=None):
     from gbrl_tpu.rl.awr import AWR
     env = gym.vector.SyncVectorEnv([lambda: gym.make(env_id)] * N_ENVS)
     obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -48,7 +49,7 @@ def run_side(side: str, env_id: str, steps: int, seed: int, device: str):
     algo = AWR(env, tree_struct=dict(TREE),
                feature_weights=np.ones(obs_dim),
                log_interval=20, device=device,
-               jit_update=(side == "ours"), **HYPERS)
+               jit_update=(side == "ours"), **(hypers or HYPERS))
     if side == "ref":
         from ref_backend import RefGaussianActor, RefGBTModel
         algo.actor = RefGaussianActor(
@@ -78,18 +79,29 @@ def main():
     ap.add_argument("--steps", type=int, default=150_000)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--device", default="tpu")
+    ap.add_argument("--log-std-final", default=str(HYPERS["log_std_final"]),
+                    help="final log-sigma of the linear anneal, or 'none' "
+                         "for constant sigma (applies to BOTH sides)")
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--tag", default="",
+                    help="suffix for the part files (experiments don't "
+                         "clobber the artifact parts)")
     ap.add_argument("--out",
                     default=os.path.join(_HERE,
                                          "results_awr_pendulum_vs_ref.json"))
     args = ap.parse_args()
-    tag = args.env_id.split("-")[0].lower()
+    hypers = dict(HYPERS)
+    hypers["log_std_final"] = (None if args.log_std_final.lower() == "none"
+                               else float(args.log_std_final))
+    hypers["gamma"] = args.gamma
+    tag = args.env_id.split("-")[0].lower() + args.tag
     part = os.path.join(_HERE, f"_awr_{tag}_{{side}}.json")
 
     if args.side in ("ours", "ref"):
         runs = []
         for seed in args.seeds:
             r = run_side(args.side, args.env_id, args.steps, seed,
-                         args.device)
+                         args.device, hypers)
             print(f"[{args.side} seed {seed}] final "
                   f"{r['final_mean100']:.1f} wall {r['wall_s']:.1f}s "
                   f"actor_trees {r['actor_trees']}", flush=True)

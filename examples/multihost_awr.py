@@ -139,12 +139,15 @@ def worker(out_path: str, total_steps: int, seed: int) -> None:
             adv[t] = gae
         ret = adv + v
 
-        # keep shard sizes equal across hosts: zero-weight invalid rows by
-        # zeroing their advantage (weight exp(0)=1 but mu target = mu) —
-        # simplest is to keep them with zeroed adv and ret=v
+        # keep shard sizes equal across hosts: invalid (post-done autoreset)
+        # rows stay in the batch but must contribute ~zero gradient on BOTH
+        # heads — critic: ret=v zeroes (v-ret); actor: action target = the
+        # CURRENT policy mean, so w*(a-mu) ~ 0 regardless of the row's
+        # standardized-advantage weight
         keep = V_b.reshape(-1) > 0.5
         X_l = O_b.reshape(-1, F)
-        acts_l = A_b.reshape(-1, A)
+        mu_cur = amirror.predict(X_l)[:, :A]
+        acts_l = np.where(keep[:, None], A_b.reshape(-1, A), mu_cur)
         rets_l = np.where(keep, ret.reshape(-1), v.reshape(-1))
         advs_l = np.where(keep, adv.reshape(-1), 0.0)
 

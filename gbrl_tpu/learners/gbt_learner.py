@@ -292,6 +292,9 @@ class GBTLearner(BaseLearner):
         self.ens = ensure_capacity(self.ens, int(self.ens.n_trees) + iterations)
         self.ens = self.ens.replace(bias=jnp.asarray(y.mean(axis=0)))
         self._pred_cache = None
+        # host mirrors skip the bias fetch when the version matches — every
+        # bias write must bump it or a live mirror serves the stale bias
+        self._bias_version = getattr(self, "_bias_version", 0) + 1
         fw = self._internal_feature_weights()
         n_num = self.cfg.n_num_features
         self.ens, loss, per_iter = fit_loop(
@@ -401,6 +404,20 @@ class GBTLearner(BaseLearner):
         t = jnp.int32(self.get_iteration())
         lrs = [float(scheduler_lr(s, t)) for s in self.specs]
         return lrs[0] if len(lrs) == 1 else tuple(lrs)
+
+    def get_optimizers(self) -> list:
+        """Full optimizer configuration as a list of dicts, one per
+        optimizer, using the reference binding's field names
+        (binding.cpp:393-419 optimizerToDict; its literal ``"eps]"`` key
+        is corrected to ``"eps"`` here)."""
+        return [dict(algo=s.algo, init_lr=float(s.init_lr),
+                     start_idx=int(s.start_idx),
+                     stop_idx=int(s.stop_idx) if s.stop_idx
+                     else self.output_dim,
+                     scheduler_func=s.scheduler, stop_lr=float(s.stop_lr),
+                     T=int(s.T), beta_1=float(s.beta_1),
+                     beta_2=float(s.beta_2), eps=float(s.eps))
+                for s in self.specs]
 
     def set_bias(self, bias) -> None:
         b = to_numpy(bias).reshape(-1)
@@ -571,8 +588,15 @@ class GBTLearner(BaseLearner):
         student.reset()
         loss = student.fit(obs, targets,
                            params.get("distil_budget", 1000), shuffle=False)
+        old_bv = getattr(self, "_bias_version", 0)
         self.__dict__.update(student.__dict__)
         self._pred_cache = None
+        # the student was never armed, so dict.update left any stale RL
+        # host counter in place — the ensemble just changed wholesale; the
+        # bias version must also advance past anything a mirror has seen
+        self._rl_host_n_trees = None
+        self._bias_version = max(old_bv,
+                                 getattr(student, "_bias_version", 0)) + 1
         return loss, params
 
     def __copy__(self) -> "GBTLearner":

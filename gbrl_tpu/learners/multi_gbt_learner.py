@@ -109,6 +109,15 @@ class MultiGBTLearner(BaseLearner):
     def get_schedule_learning_rates(self, model_idx: Optional[int] = None):
         return self._fan("get_schedule_learning_rates", model_idx)
 
+    def get_optimizers(self, model_idx: Optional[int] = None):
+        """Per-learner optimizer-config dicts (reference
+        multi_gbt_learner.py:343 concatenates them across models)."""
+        sel = self._sel(model_idx)
+        out = []
+        for i in sel:
+            out.extend(self.learners[i].get_optimizers())
+        return out
+
     def set_bias(self, bias, model_idx: Optional[int] = None) -> None:
         sel = self._sel(model_idx)
         if len(sel) > 1:

@@ -52,6 +52,19 @@ class OptimizerSpec:
 
     @staticmethod
     def from_dict(d: Dict) -> "OptimizerSpec":
+        d = dict(d)
+        # accept un-normalized model-facade conventions rather than
+        # silently dropping them: 'lr' (incl. the 'lin_<lr>' Linear-
+        # scheduler string, common/utils.py setup_optimizer) and the
+        # reference binding's exported 'scheduler_func' key
+        if "init_lr" not in d and "lr" in d:
+            lr = d["lr"]
+            if isinstance(lr, str) and lr.startswith("lin_"):
+                d["scheduler"] = "Linear"
+                lr = lr[len("lin_"):]
+            d["init_lr"] = float(lr)
+        if "scheduler" not in d and "scheduler_func" in d:
+            d["scheduler"] = d["scheduler_func"]
         fields = {f.name for f in dataclasses.fields(OptimizerSpec)}
         return OptimizerSpec(**{k: v for k, v in d.items() if k in fields})
 

@@ -111,6 +111,11 @@ class A2C:
                               // (self.n_steps * self.n_envs))
             lr.ens = ensure_capacity(lr.ens, n0 + iters_planned)
             lr._rl_host_n_trees = n0
+        if mirror is not None:
+            # a warm-started learner (trees/bias set before this learn()
+            # call) must be mirrored before the first rollout — the jit
+            # path only syncs after each update
+            mirror.sync()
         while steps < total_timesteps:
             for _ in range(self.n_steps):
                 if mirror is not None:

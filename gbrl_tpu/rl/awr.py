@@ -125,6 +125,11 @@ class AWR:
             return mu + np.exp(log_std) * rng.standard_normal(
                 mu.shape).astype(np.float32)
         mu, log_std = self.actor(obs, requires_grad=False)
+        if not self.learn_std:
+            # fixed-sigma mode: the anneal must apply on EVERY sampling
+            # path (mirror and facade alike) or two backends running "the
+            # same config" explore with different sigma schedules
+            log_std = th.full_like(mu, self._sample_log_std())
         std = th.exp(log_std)
         dist = Normal(mu, std)
         a = dist.sample()

@@ -203,9 +203,13 @@ def _host_lr(spec, t: np.ndarray) -> np.ndarray:
     """lr_o(t) for tree indices t: host replica of the scheduler step
     (scheduler.h:124-133, 182-185)."""
     if spec.scheduler == "Linear":
-        frac = np.minimum(t / np.float32(max(spec.T, 1)), 1.0)
-        lr = spec.init_lr + (spec.stop_lr - spec.init_lr) * frac
-        return np.maximum(lr, min(spec.init_lr, spec.stop_lr))
+        # EXACT replica of optimizers.scheduler_lr: lr(t) =
+        # init + ((t+1)/T)*(stop-init), floored at stop_lr (no cap at T —
+        # the floor handles overruns, matching scheduler.h:182-185)
+        lr = (spec.init_lr
+              + ((t + 1.0) / np.float32(spec.T))
+              * (spec.stop_lr - spec.init_lr)).astype(np.float32)
+        return np.where(lr < spec.stop_lr, np.float32(spec.stop_lr), lr)
     return np.full_like(t, spec.init_lr)
 
 
@@ -540,12 +544,7 @@ class HostMirror:
         for spec in self.learner.specs:
             if spec.algo != "Adam":
                 continue
-            if spec.scheduler == "Linear":
-                frac = np.minimum(t / np.float32(max(spec.T, 1)), 1.0)
-                lr = spec.init_lr + (spec.stop_lr - spec.init_lr) * frac
-                lr = np.maximum(lr, min(spec.init_lr, spec.stop_lr))
-            else:
-                lr = np.full_like(t, spec.init_lr)
+            lr = _host_lr(spec, t)
             b1, b2, eps = spec.beta_1, spec.beta_2, spec.eps
             alpha = lr * np.sqrt(1.0 - b2 ** (t + 1)) / (1.0 - b1 ** (t + 1))
             stop = spec.stop_idx or self.O

@@ -306,4 +306,8 @@ def load_reference_model(path: str, device: str = "tpu"):
         n_trees=jnp.int32(n_trees))
     learner.ens = ens
     learner.total_iterations = m["iteration"]
+    # wholesale ensemble replacement: disarm any RL host tree counter and
+    # force mirrors to re-fetch the bias on their next sync
+    learner._rl_host_n_trees = None
+    learner._bias_version = getattr(learner, "_bias_version", 0) + 1
     return learner

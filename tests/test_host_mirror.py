@@ -147,3 +147,24 @@ def test_mirror_adam_incremental_sync_c_kernel():
     got = mirror.predict(X[:16])
     np.testing.assert_allclose(got, want.reshape(got.shape),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_mirror_bias_not_stale_after_fit():
+    """fit() writes ens.bias directly (bias=mean(targets)); a mirror that
+    already saw a non-None bias version must still pick it up (round-4
+    advisor finding: gbt_learner.py fit() skipped the version bump)."""
+    rng = np.random.default_rng(7)
+    learner = _make_learner(out_dim=1, two_opts=False)
+    learner.set_bias(np.array([5.0], np.float32))   # version -> non-None
+    mirror = HostMirror(learner)
+    assert mirror.bias[0] == 5.0
+    X = rng.normal(size=(256, 6)).astype(np.float32)
+    y = (X[:, :1] * 2.0 + 1.5).astype(np.float32)
+    learner.fit(X, y, 5)
+    mirror.sync()
+    np.testing.assert_allclose(mirror.bias, np.asarray(learner.get_bias()),
+                               rtol=0, atol=0)
+    want = learner.predict(X[:16], requires_grad=False, tensor=False)
+    got = mirror.predict(X[:16])
+    np.testing.assert_allclose(got, want.reshape(got.shape),
+                               rtol=1e-4, atol=1e-4)

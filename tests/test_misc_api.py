@@ -80,3 +80,54 @@ def test_schedule_learning_rates():
     # lr(t=5) = 1.0 + (6/10)*(0.1-1.0) = 0.46
     np.testing.assert_allclose(lr, 0.46, rtol=1e-5)
     assert m2.get_total_iterations() == 5
+
+
+def test_get_optimizers_roundtrip():
+    """get_optimizers() exports the reference binding's dict fields
+    (binding.cpp:393-419) and the dicts reconstruct an identical learner."""
+    m = GBTModel(tree_struct={"max_depth": 2, "n_bins": 4},
+                 input_dim=4, output_dim=3,
+                 optimizers=[{"algo": "SGD", "lr": "lin_0.7", "stop_lr": 0.05,
+                              "T": 20, "start_idx": 0, "stop_idx": 2},
+                             {"algo": "Adam", "lr": 0.3, "beta_1": 0.8,
+                              "beta_2": 0.95, "eps": 1e-6,
+                              "start_idx": 2, "stop_idx": 3}],
+                 device="cpu")
+    opts = m.learner.get_optimizers()
+    assert [o["algo"] for o in opts] == ["SGD", "Adam"]
+    assert opts[0] == dict(algo="SGD", init_lr=0.7, start_idx=0, stop_idx=2,
+                           scheduler_func="Linear", stop_lr=0.05, T=20,
+                           beta_1=0.9, beta_2=0.999, eps=1e-8)
+    assert opts[1]["beta_1"] == 0.8 and opts[1]["beta_2"] == 0.95
+    assert opts[1]["scheduler_func"] == "Const"
+
+    # reconstruct: Linear schedulers travel via the 'lin_<lr>' convention
+    # (setup_optimizer, common/utils.py — same rule as the reference)
+    def to_ctor(o):
+        lr = f"lin_{o['init_lr']}" if o["scheduler_func"] == "Linear" \
+            else o["init_lr"]
+        return dict(algo=o["algo"], lr=lr, stop_lr=o["stop_lr"], T=o["T"],
+                    start_idx=o["start_idx"], stop_idx=o["stop_idx"],
+                    beta_1=o["beta_1"], beta_2=o["beta_2"], eps=o["eps"])
+
+    m2 = GBTModel(tree_struct={"max_depth": 2, "n_bins": 4},
+                  input_dim=4, output_dim=3,
+                  optimizers=[to_ctor(o) for o in opts], device="cpu")
+    assert m2.learner.get_optimizers() == opts
+    assert m2.learner.specs == m.learner.specs
+
+
+def test_get_optimizers_multi_learner():
+    from gbrl_tpu.learners.multi_gbt_learner import MultiGBTLearner
+    ml = MultiGBTLearner(
+        input_dim=4, output_dim=[1, 2],
+        tree_struct={"max_depth": 2, "n_bins": 4},
+        optimizers=[[{"algo": "SGD", "lr": 0.5, "start_idx": 0,
+                      "stop_idx": 1}],
+                    [{"algo": "SGD", "lr": 0.25, "start_idx": 0,
+                      "stop_idx": 2}]],
+        params={}, n_learners=2, device="cpu")
+    ml.reset()
+    opts = ml.get_optimizers()
+    assert [o["init_lr"] for o in opts] == [0.5, 0.25]
+    assert ml.get_optimizers(model_idx=1)[0]["stop_idx"] == 2
