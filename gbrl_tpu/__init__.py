@@ -9,6 +9,28 @@ mesh.
 import os as _os
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host's CPU feature set (+ arch).  XLA's CPU
+    backend AOT-compiles for the build machine's features; loading such an
+    entry on a host with different features can SIGILL
+    (xla cpu_aot_loader "Compile machine features ... doesn't match"
+    warnings observed when one shared cache dir served two hosts), so the
+    cache directory is keyed per machine."""
+    import hashlib
+    import platform
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1]
+                                                   .split()))
+                    break
+    except OSError:
+        feats += " " + platform.processor()
+    return hashlib.blake2b(feats.encode(), digest_size=6).hexdigest()
+
+
 def _enable_persistent_compile_cache() -> None:
     """Persistent XLA compilation cache (opt-out: GBRL_TPU_NO_CACHE=1).
 
@@ -16,7 +38,9 @@ def _enable_persistent_compile_cache() -> None:
     caching them on disk makes every process after the first start at full
     speed (measured: a fresh process's first fit_loop call 6.2s -> 3.6s on
     a small shape; the RL update programs save minutes).  Respects an
-    existing user-configured cache dir."""
+    existing user-configured cache dir.  The directory name embeds a CPU
+    feature fingerprint so a cache populated on one machine is never
+    loaded on a differently-featured one (see _machine_fingerprint)."""
     if _os.environ.get("GBRL_TPU_NO_CACHE"):
         return
     try:
@@ -27,7 +51,7 @@ def _enable_persistent_compile_cache() -> None:
         cache = _os.environ.get(
             "GBRL_TPU_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "gbrl_tpu",
-                          "xla"))
+                          "xla-" + _machine_fingerprint()))
         _os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -28,6 +28,24 @@ from .base import BaseLearner
 SAVE_SUFFIX = ".gbrl_model"
 
 
+def _fast_cache_key_threshold() -> Optional[int]:
+    """Opt-in threshold (bytes) above which predict-cache keys may use the
+    O(1MB) probabilistic strided scheme instead of hashing every byte.
+
+    Default: None — EXACT hashing for all sizes (blake2b at ~600 MB/s
+    costs ~1.7 ms/MB, measured; a 64 MB rollout is ~110 ms once per
+    update phase).  Set ``GBRL_TPU_FAST_CACHE_KEY_MB=<n>`` to re-enable
+    the strided keying for arrays above n MB when that cost matters."""
+    import os
+    v = os.environ.get("GBRL_TPU_FAST_CACHE_KEY_MB", "")
+    if not v:
+        return None
+    try:
+        return int(float(v) * (1 << 20))
+    except ValueError:
+        return None
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _predict_jit(cfg: TreeConfig, ens: Ensemble, Xn, specs, start_tree,
                  stop_tree, Xc=None):
@@ -205,19 +223,25 @@ class GBTLearner(BaseLearner):
             return Xn, Xc
         import hashlib
         h = hashlib.blake2b(digest_size=16)
+        fast_over = _fast_cache_key_threshold()
         for arr in ((num,) if codes is None else (num, codes)):
             a = np.ascontiguousarray(arr)
             h.update(str(a.shape).encode())
-            if a.nbytes <= (1 << 20):
-                h.update(a.tobytes())
+            if fast_over is None or a.nbytes <= fast_over:
+                # EXACT keying (default): hash every byte.  blake2b runs at
+                # ~600 MB/s on this class of host, so typical RL replay
+                # buffers (1-8 MB) cost 1.5-12 ms once per update phase —
+                # cheap insurance against a collision silently serving
+                # stale predictions.
+                h.update(memoryview(a).cast("B"))
             else:
-                # large batches: two coprime-strided ~1MB subsamples (one
-                # offset mid-array) + per-row and global float64 sums keep
-                # keying O(1MB) instead of O(N*F).  Collisions require
-                # agreement on both stride lattices AND every row sum —
-                # e.g. a row permutation or compensating edits inside one
-                # row are caught by the row sums; this is probabilistic,
-                # not exact (see predict() docstring)
+                # opt-in O(1MB) probabilistic keying for huge buffers
+                # (GBRL_TPU_FAST_CACHE_KEY_MB): two coprime-strided ~1MB
+                # subsamples (one offset mid-array) + per-row and global
+                # float64 sums.  Collisions require agreement on both
+                # stride lattices AND every row sum — permutations and
+                # compensating in-row edits are caught — but this is
+                # probabilistic, not exact.
                 flat = a.reshape(-1)
                 step = max(1, (flat.size * flat.itemsize) >> 20)
                 h.update(flat[::step].tobytes())
@@ -322,12 +346,13 @@ class GBTLearner(BaseLearner):
         Full-range SGD predictions on a repeated input are served
         incrementally: only trees added since the cached call are evaluated
         (leaf values are immutable once fit, so cache + delta reproduces a
-        full predict).  Input identity is established by a content hash;
-        for batches over 1MB the hash covers two strided subsamples plus
-        per-row/global sums rather than every byte, so cache correctness is
-        probabilistic (collision-resistant against permutations and
-        elementwise edits, not cryptographically exhaustive).
-        This makes the predict-inside-training-loop pattern O(new trees)."""
+        full predict).  Input identity is established by an EXACT blake2b
+        content hash of every byte (default; ~1.7 ms/MB measured).  Setting
+        ``GBRL_TPU_FAST_CACHE_KEY_MB=<n>`` switches batches above n MB to
+        an O(1MB) strided probabilistic key — documented opt-in, not the
+        default, because a collision would silently serve stale
+        predictions.  This makes the predict-inside-training-loop pattern
+        O(new trees)."""
         assert self.ens is not None, "call reset() first"
         Xn, Xc, key = self._prepare(inputs, grow_vocab=False, with_key=True)
         n_trees = int(self.ens.n_trees)
