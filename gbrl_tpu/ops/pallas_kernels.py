@@ -844,3 +844,133 @@ def weighted_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
         interpret=interpret,
     )(nt, X, featT, thrT, splT, w3)
     return out[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "tile",
+                                             "interpret"))
+def oblivious_leaf_sum_pallas(X: jax.Array, feat: jax.Array, thr: jax.Array,
+                              is_split: jax.Array, w: jax.Array,
+                              max_depth: int, tile: int = PREDICT_TILE,
+                              interpret: bool = False,
+                              n_trees: jax.Array = None) -> jax.Array:
+    """Oblivious-tree ensemble predict: sum_t w[t, leaf(n, t), :] -> [N, O].
+
+    Specialized fast path for grow_policy='oblivious' (the reference has
+    the same specialization: predict_over_trees packs per-level decisions
+    into a leaf bit-index, predictor.cpp:231-265).  An oblivious tree
+    shares ONE (feature, threshold) pair per level (ops/fit.py broadcasts
+    the level winner to every node slot), so only the D level-lead heap
+    slots [2^d - 1] are read and the general kernel's per-level one-hot
+    node-selects (sum_d 3*2^d where-passes over [tile, C] registers)
+    disappear entirely: all D levels' decisions compute at once on WIDE
+    [tile, D*C] registers — F feature-select passes + one compare for the
+    whole walk.
+
+    Structure: 1-D grid over sample tiles; ALL tree chunks stay VMEM-
+    resident (the packed per-level tables are KBs) and an in-kernel
+    fori_loop walks ceil(n_trees / C) live chunks, accumulating the
+    [tile, C*L] x [C*L, 3O] bf16 leaf contraction into registers — one
+    program per tile instead of n_tiles * n_chunks, no out-revisits, and
+    dead capacity chunks never execute.  All routing arithmetic is plain
+    f32 VPU compare/select — bit-identical to the general walk by
+    construction (an earlier MXU one-hot gather formulation was reverted:
+    Mosaic fuses the accumulator chain into the compare and flips
+    x == thr ties).
+    """
+    N, F = X.shape
+    T_cap = feat.shape[0]
+    D = max_depth
+    L = 1 << D
+    O = w.shape[-1]
+    C = PREDICT_CHUNK
+    DC = D * C
+    t = min(tile, _round_up(N, 8))
+    padn = (-N) % t
+    if padn:
+        X = jnp.pad(X, ((0, padn), (0, 0)))
+    padc = (-T_cap) % C
+    if padc:
+        feat = jnp.pad(feat, ((0, padc), (0, 0)))
+        thr = jnp.pad(thr, ((0, padc), (0, 0)))
+        is_split = jnp.pad(is_split, ((0, padc), (0, 0)))
+        w = jnp.pad(w, ((0, padc), (0, 0), (0, 0)))
+    Tp = T_cap + padc
+    n_chunks = Tp // C
+    n_tiles = X.shape[0] // t
+
+    lvl = [(1 << d) - 1 for d in range(D)]          # level-lead heap slots
+    Rn = _round_up(n_chunks, 8)
+
+    def _wide(a, dtype):
+        """[Tp, D] per-tree level data -> [Rn, D*C]: row j holds chunk j's
+        levels laid out d*C + c along lanes."""
+        a = a.reshape(n_chunks, C, D).transpose(0, 2, 1).reshape(n_chunks,
+                                                                 DC)
+        a = jnp.pad(a, ((0, Rn - n_chunks), (0, 0)))
+        return a.astype(dtype)
+
+    featW = _wide(feat[:, lvl], jnp.int32)
+    thrW = _wide(thr[:, lvl], jnp.float32)
+    splW = _wide(is_split[:, lvl], jnp.float32)
+
+    # leaf-weight rows ordered chunk-major l*C + c, hi/mid/lo bf16 split
+    # (f32-faithful; see _split3)
+    w3 = _split3(w.reshape(n_chunks, C, L, O).transpose(0, 2, 1, 3)
+                 .reshape(n_chunks, L * C, O)).reshape(n_chunks * L * C,
+                                                       3 * O)
+
+    if n_trees is None:
+        n_trees = jnp.int32(T_cap)
+    nt = jnp.asarray(n_trees, dtype=jnp.int32).reshape(1, 1)
+
+    def kernel(nt_ref, x_ref, f_ref, thr_ref, spl_ref, w_ref, out_ref,
+               oh_ref):
+        x = x_ref[:]                                        # [t, F]
+        n_live = (nt_ref[0, 0] + C - 1) // C
+
+        def chunk_body(j, acc):
+            frow = f_ref[pl.ds(j, 1), :]                        # [1, DC]
+            trow = thr_ref[pl.ds(j, 1), :]
+            srow = spl_ref[pl.ds(j, 1), :]
+            xv = jnp.zeros((t, DC), dtype=jnp.float32)
+            for col in range(F):
+                xv = jnp.where(frow == col, x[:, col][:, None], xv)
+            go = (xv > trow) & (srow > 0.5)
+            rel = jnp.zeros((t, C), dtype=jnp.int32)
+            for d in range(D):
+                rel = 2 * rel + go[:, d * C:(d + 1) * C].astype(jnp.int32)
+            for leaf in range(L):
+                oh_ref[:, leaf * C:(leaf + 1) * C] = (
+                    rel == leaf).astype(jnp.bfloat16)
+            wj = w_ref[pl.ds(j * (L * C), L * C), :]
+            return acc + jax.lax.dot_general(
+                oh_ref[:], wj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [t, 3O]
+
+        acc = jax.lax.fori_loop(
+            0, n_live, chunk_body,
+            jnp.zeros((t, 3 * O), dtype=jnp.float32))
+        out_ref[:] = acc[:, :O] + acc[:, O:2 * O] + acc[:, 2 * O:]
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((X.shape[0], O), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM if not interpret
+                         else pl.ANY),
+            pl.BlockSpec((t, F), lambda i: (i, 0), memory_space=mem),
+            pl.BlockSpec((Rn, DC), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((Rn, DC), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((Rn, DC), lambda i: (0, 0), memory_space=mem),
+            pl.BlockSpec((n_chunks * L * C, 3 * O), lambda i: (0, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((t, O), lambda i: (i, 0),
+                               memory_space=mem),
+        scratch_shapes=[pltpu.VMEM((t, L * C), jnp.bfloat16)],
+        interpret=interpret,
+    )(nt, X, featW, thrW, splW, w3)
+    return out[:N]

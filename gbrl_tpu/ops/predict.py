@@ -138,8 +138,15 @@ def weighted_leaf_sum(cfg: TreeConfig, ens: Ensemble, Xn: jax.Array,
     if (jax.default_backend() == "tpu" and (Xc is None or Xc.shape[1] == 0)
             and Xn.shape[1] <= MAX_ONEHOT_FEATURES
             and 2 * 512 * L * 128 <= 8 * 1024 * 1024):
-        from .pallas_kernels import weighted_leaf_sum_pallas
         w = ens.leaf_values * coeff[:, None, :]
+        if cfg.grow_policy == "oblivious":
+            # packed per-level bit-index walk (one (feat, thr) pair per
+            # level; reference predict_over_trees, predictor.cpp:231-265)
+            from .pallas_kernels import oblivious_leaf_sum_pallas
+            return oblivious_leaf_sum_pallas(
+                Xn, ens.feat, ens.thr, ens.is_split, w, cfg.max_depth,
+                n_trees=ens.n_trees)
+        from .pallas_kernels import weighted_leaf_sum_pallas
         return weighted_leaf_sum_pallas(Xn, ens.feat, ens.thr, ens.is_split,
                                         w, cfg.max_depth,
                                         n_trees=ens.n_trees)

@@ -244,3 +244,55 @@ def test_fused_level_path_min_data_and_weights():
                                   np.asarray(t_fused["is_split"]))
     np.testing.assert_allclose(np.asarray(t_xla["leaf_values"]),
                                np.asarray(t_fused["leaf_values"]), atol=1e-5)
+
+
+@pytest.mark.parametrize("n,f,o,depth,t_fit", [(300, 5, 3, 3, 20),
+                                               (700, 16, 2, 4, 40)])
+def test_oblivious_leaf_sum_pallas_bitwise(n, f, o, depth, t_fit):
+    """The oblivious fast path must be BIT-identical to the general kernel
+    on fitted oblivious ensembles, including x == threshold ties (routing
+    exactness is what the compiled-reference prediction goldens rely on)."""
+    import jax
+    import jax.numpy as jnp
+    from gbrl_tpu.config import tree_config_from_dicts
+    from gbrl_tpu.ensemble import init_ensemble
+    from gbrl_tpu.ops.boosting import boost_step
+    from gbrl_tpu.ops.pallas_kernels import (oblivious_leaf_sum_pallas,
+                                             weighted_leaf_sum_pallas)
+    from gbrl_tpu.ops.predict import weighted_leaf_sum
+    from gbrl_tpu.optimizers import OptimizerSpec, sgd_coeff
+
+    rng = np.random.default_rng(3)
+    cfg = tree_config_from_dicts(
+        f, o, dict(max_depth=depth, n_bins=32, min_data_in_leaf=0, par_th=2,
+                   grow_policy="oblivious"),
+        dict(split_score_func="cosine", generator_type="Quantile"))
+    X = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, o)).astype(np.float32))
+    fw = jnp.ones(f, dtype=jnp.float32)
+    cap = 1 << (2 * t_fit - 1).bit_length()
+    ens = init_ensemble(cfg, capacity=cap)
+    step = jax.jit(lambda e: boost_step(cfg, e, X, y, fw))
+    for _ in range(t_fit):
+        ens = step(ens)
+    specs = (OptimizerSpec(algo="SGD", init_lr=0.1, start_idx=0,
+                           stop_idx=o),)
+    coeff = sgd_coeff(specs, cap, o, ens.n_trees, 0, cap)
+    w = ens.leaf_values * coeff[:, None, :]
+
+    # inject exact-tie rows: feature values equal to fitted thresholds
+    Xe = np.asarray(X).copy()
+    thr_np = np.asarray(ens.thr)
+    Xe[: n // 4, 0] = thr_np[0, 0]
+    Xe[: n // 4, f - 1] = thr_np[min(3, t_fit - 1), 1]
+    for XX in (X, jnp.asarray(Xe)):
+        gen = np.asarray(weighted_leaf_sum_pallas(
+            XX, ens.feat, ens.thr, ens.is_split, w, depth,
+            n_trees=ens.n_trees, interpret=True))
+        obl = np.asarray(oblivious_leaf_sum_pallas(
+            XX, ens.feat, ens.thr, ens.is_split, w, depth,
+            n_trees=ens.n_trees, interpret=True))
+        np.testing.assert_array_equal(obl, gen)
+        # and both track the f32 XLA reference closely
+        xla = np.asarray(weighted_leaf_sum(cfg, ens, XX, coeff))
+        np.testing.assert_allclose(obl, xla, rtol=2e-3, atol=2e-3)
