@@ -41,7 +41,7 @@ N_ENVS = 8
 
 
 def run_side(side: str, env_id: str, steps: int, seed: int, device: str,
-             hypers=None):
+             hypers=None, jit=True):
     from gbrl_tpu.rl.awr import AWR
     env = gym.vector.SyncVectorEnv([lambda: gym.make(env_id)] * N_ENVS)
     obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -49,7 +49,7 @@ def run_side(side: str, env_id: str, steps: int, seed: int, device: str,
     algo = AWR(env, tree_struct=dict(TREE),
                feature_weights=np.ones(obs_dim),
                log_interval=20, device=device,
-               jit_update=(side == "ours"), **(hypers or HYPERS))
+               jit_update=(side == "ours" and jit), **(hypers or HYPERS))
     if side == "ref":
         from ref_backend import RefGaussianActor, RefGBTModel
         algo.actor = RefGaussianActor(
@@ -83,6 +83,9 @@ def main():
                     help="final log-sigma of the linear anneal, or 'none' "
                          "for constant sigma (applies to BOTH sides)")
     ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--no-jit", action="store_true",
+                    help="ours side only: run the facade update loop "
+                         "instead of the fused jit loop (diagnostic)")
     ap.add_argument("--tag", default="",
                     help="suffix for the part files (experiments don't "
                          "clobber the artifact parts)")
@@ -98,16 +101,24 @@ def main():
     part = os.path.join(_HERE, f"_awr_{tag}_{{side}}.json")
 
     if args.side in ("ours", "ref"):
+        pf = part.format(side=args.side)
         runs = []
+        if os.path.exists(pf):      # merge-append: reruns replace by seed
+            with open(pf) as f:
+                prev = json.load(f)
+            if prev.get("steps") == args.steps:
+                runs = [r for r in prev["runs"]
+                        if r["seed"] not in args.seeds]
         for seed in args.seeds:
             r = run_side(args.side, args.env_id, args.steps, seed,
-                         args.device, hypers)
+                         args.device, hypers, jit=not args.no_jit)
             print(f"[{args.side} seed {seed}] final "
                   f"{r['final_mean100']:.1f} wall {r['wall_s']:.1f}s "
                   f"actor_trees {r['actor_trees']}", flush=True)
             runs.append(r)
-        with open(part.format(side=args.side), "w") as f:
-            json.dump(dict(steps=args.steps, runs=runs), f)
+            runs.sort(key=lambda r: r["seed"])
+            with open(pf, "w") as f:      # write-through after every seed
+                json.dump(dict(steps=args.steps, runs=runs), f)
         return
 
     sides = {}
@@ -140,12 +151,21 @@ def main():
         reference=summarize(sides["ref"]["runs"]))
     om, rm = result["ours"], result["reference"]
     oc, rc = om["checkpoints"][-1], rm["checkpoints"][-1]
-    spread = max(oc["std"], rc["std"], 1.0)
-    within = abs(oc["mean"] - rc["mean"]) <= 2 * spread
+    # Plain, pre-registered criteria (no invented bars): (a) do the
+    # per-seed ranges overlap, and (b) is |mean difference| within one
+    # pooled across-seed std?  Both reported; the verdict states the facts.
+    o_s, r_s = oc["per_seed"], rc["per_seed"]
+    overlap = (max(o_s) >= min(r_s)) and (max(r_s) >= min(o_s))
+    pooled = float(np.sqrt((oc["std"] ** 2 + rc["std"] ** 2) / 2.0))
+    d = oc["mean"] - rc["mean"]
     result["verdict"] = (
         f"reward: final mean100 ours {oc['mean']:.1f}±{oc['std']:.1f} vs "
-        f"ref {rc['mean']:.1f}±{rc['std']:.1f} "
-        f"({'within' if within else 'OUTSIDE'} 2x max seed std); "
+        f"ref {rc['mean']:.1f}±{rc['std']:.1f} over "
+        f"{len(o_s)}/{len(r_s)} seeds; per-seed ranges "
+        f"[{min(o_s):.1f},{max(o_s):.1f}] vs [{min(r_s):.1f},{max(r_s):.1f}] "
+        f"({'overlap' if overlap else 'DISJOINT'}); mean difference "
+        f"{d:+.1f} vs pooled seed std {pooled:.1f} "
+        f"({'within' if abs(d) <= pooled else 'OUTSIDE'} 1 pooled std); "
         f"wall: ours {om['wall_s_mean']:.1f}s vs ref "
         f"{rm['wall_s_mean']:.1f}s "
         f"({rm['wall_s_mean'] / om['wall_s_mean']:.2f}x)")
