@@ -39,6 +39,15 @@ def main():
                     choices=["linear", "quadratic", "tanh"])
     ap.add_argument("--device", default="tpu")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-step", type=int, default=5,
+                    help="n-step TD targets (1 = classic SAC)")
+    ap.add_argument("--gamma", type=float, default=0.95)
+    ap.add_argument("--gradient-steps", type=int, default=1)
+    ap.add_argument("--train-freq", type=int, default=4)
+    ap.add_argument("--critic-lr", type=float, default=0.05)
+    ap.add_argument("--actor-lr", type=float, default=0.02)
+    ap.add_argument("--no-write", action="store_true",
+                    help="sweep mode: skip the results JSON")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -50,8 +59,11 @@ def main():
     env = gym.vector.SyncVectorEnv(
         [lambda: gym.make(args.env)] * args.n_envs)
     algo = SAC(env, q_func_type=args.q_func,
-               actor_lr=0.02, critic_lr=0.05,
-               learning_starts=1000, batch_size=256, train_freq=4,
+               actor_lr=args.actor_lr, critic_lr=args.critic_lr,
+               gamma=args.gamma, n_step=args.n_step,
+               gradient_steps=args.gradient_steps,
+               learning_starts=1000, batch_size=256,
+               train_freq=args.train_freq,
                target_update_interval=100, log_interval=200,
                device=args.device)
     t0 = time.time()
@@ -63,6 +75,9 @@ def main():
           f"actor trees {algo.actor.get_num_trees()}, "
           f"ep_rew_mean(100) {algo.mean_reward():.1f}")
 
+    if args.no_write:
+        return
+
     import json
     er = [float(r) for r in algo.episode_rewards]
     k = max(1, len(er) // 20)
@@ -73,7 +88,10 @@ def main():
     with open(out, "w") as f:
         json.dump({
             "config": (f"SAC twin-{args.q_func}-Q prefix-targets "
-                       f"actor_lr0.02 critic_lr0.05 batch256 train_freq4"),
+                       f"actor_lr{args.actor_lr} critic_lr{args.critic_lr} "
+                       f"gamma{args.gamma} n_step{args.n_step} batch256 "
+                       f"train_freq{args.train_freq} "
+                       f"grad_steps{args.gradient_steps}"),
             "env": args.env, "steps": args.steps, "seed": args.seed,
             "final_mean_reward_100": float(algo.mean_reward()),
             "first_episodes_mean": float(np.mean(er[:k])) if er else None,

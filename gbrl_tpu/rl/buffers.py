@@ -76,7 +76,11 @@ class RolloutBuffer:
 
 
 class ReplayBuffer:
-    """Uniform off-policy ring buffer (for SAC)."""
+    """Uniform off-policy ring buffer (for SAC).
+
+    Each row carries its own bootstrap discount ``disc``: gamma for 1-step
+    transitions, gamma^k for n-step ones (k < n at episode boundaries), so
+    the TD target is ``R + disc * (1 - done) * Q(s_next, a')`` uniformly."""
 
     def __init__(self, capacity: int, obs_dim: int, act_dim: int):
         self.capacity = capacity
@@ -85,13 +89,14 @@ class ReplayBuffer:
         self.rewards = np.zeros(capacity, dtype=np.float32)
         self.next_obs = np.zeros((capacity, obs_dim), dtype=np.float32)
         self.dones = np.zeros(capacity, dtype=np.float32)
+        self.discs = np.zeros(capacity, dtype=np.float32)
         self.pos = 0
         self.full = False
 
     def __len__(self) -> int:
         return self.capacity if self.full else self.pos
 
-    def add(self, obs, action, reward, next_obs, done):
+    def add(self, obs, action, reward, next_obs, done, disc):
         """Add a batch of [n_envs, ...] transitions."""
         n = len(obs)
         idx = (self.pos + np.arange(n)) % self.capacity
@@ -100,6 +105,7 @@ class ReplayBuffer:
         self.rewards[idx] = reward
         self.next_obs[idx] = next_obs.reshape(n, -1)
         self.dones[idx] = done
+        self.discs[idx] = disc
         self.pos += n
         if self.pos >= self.capacity:
             self.full = True
@@ -108,4 +114,45 @@ class ReplayBuffer:
     def sample(self, batch_size: int, rng):
         idx = rng.integers(0, len(self), batch_size)
         return (self.obs[idx], self.actions[idx], self.rewards[idx],
-                self.next_obs[idx], self.dones[idx])
+                self.next_obs[idx], self.dones[idx], self.discs[idx])
+
+
+class NStepAccumulator:
+    """Per-env conversion of 1-step transition streams into n-step ones.
+
+    Emits ``(s_t, a_t, sum_{i<k} gamma^i r_{t+i}, s_{t+k}, done, gamma^k)``
+    with k == n in steady state and k < n at episode boundaries:
+    terminations flush every pending transition with done=1 (no bootstrap);
+    truncations flush with done=0 so the target bootstraps through the
+    episode's final observation (gymnasium >=1.0 NextStep semantics hand
+    exactly that observation to the caller).
+
+    n_step=1 reduces to the ordinary 1-step replay feed (disc = gamma)."""
+
+    def __init__(self, n_envs: int, n_step: int, gamma: float):
+        self.n_step = int(n_step)
+        self.gamma = float(gamma)
+        self._pend = [[] for _ in range(n_envs)]   # [obs, act, R, k] each
+
+    def add(self, env_idx: int, obs, action, reward: float, next_obs,
+            terminated: bool, truncated: bool):
+        """Feed one valid transition for env ``env_idx``; returns the list
+        of matured n-step transitions (obs, act, R, next_obs, done, disc)."""
+        pend = self._pend[env_idx]
+        pend.append([obs, action, 0.0, 0])
+        for p in pend:
+            p[2] += (self.gamma ** p[3]) * float(reward)
+            p[3] += 1
+        out = []
+        if terminated or truncated:
+            done = 1.0 if terminated else 0.0
+            for p in pend:
+                out.append((p[0], p[1], p[2], next_obs, done,
+                            self.gamma ** p[3]))
+            pend.clear()
+        else:
+            while pend and pend[0][3] >= self.n_step:
+                p = pend.pop(0)
+                out.append((p[0], p[1], p[2], next_obs, 0.0,
+                            self.gamma ** p[3]))
+        return out

@@ -34,10 +34,12 @@ LOG_STD_MIN, LOG_STD_MAX = -20.0, 2.0
 
 
 class SACHyper(NamedTuple):
-    """Static SAC hyperparameters (jit cache key)."""
+    """Static SAC hyperparameters (jit cache key).
+
+    The bootstrap discount is NOT here: it rides per-sample (``discs`` =
+    gamma^k for k-step transitions, rl/buffers.NStepAccumulator)."""
     act_dim: int
     q_func_type: str      # 'linear' | 'quadratic' | 'tanh'
-    gamma: float
     max_grad_norm: float  # 0.0 = off
 
 
@@ -89,7 +91,8 @@ def sac_train_step(acfg: TreeConfig, ccfg: TreeConfig, hp: SACHyper,
                    actor_ens: Ensemble, critic_ens: Tuple[Ensemble, ...],
                    prefixes: jax.Array, obs: jax.Array, actions: jax.Array,
                    rewards: jax.Array, next_obs: jax.Array, dones: jax.Array,
-                   alpha: jax.Array, feat_w: jax.Array, key: jax.Array):
+                   discs: jax.Array, alpha: jax.Array, feat_w: jax.Array,
+                   key: jax.Array):
     """One SAC gradient step on device.
 
     specs = (actor_specs, critic_specs); prefixes [n_critics] target-network
@@ -106,7 +109,7 @@ def sac_train_step(acfg: TreeConfig, ccfg: TreeConfig, hp: SACHyper,
         eps = jax.random.normal(k, mu.shape)
         return sample_squashed(mu, log_std, eps)
 
-    # ---- target: y = r + gamma * (1 - d) * (min_i Q_i^target - alpha lp')
+    # ---- target: y = R + disc * (1 - d) * (min_i Q_i^target - alpha lp')
     na, nlogp = actor_forward(next_obs, k_next)
     tqs = []
     for ens, pref in zip(critic_ens, range(len(critic_ens))):
@@ -115,7 +118,7 @@ def sac_train_step(acfg: TreeConfig, ccfg: TreeConfig, hp: SACHyper,
         w, b = _critic_wb(hp, th_t)
         tqs.append(q_jax(w, b, na, hp.q_func_type))
     qmin_t = jnp.min(jnp.stack(tqs, 0), axis=0)
-    y = rewards + hp.gamma * (1.0 - dones) * (qmin_t - alpha * nlogp)
+    y = rewards + discs * (1.0 - dones) * (qmin_t - alpha * nlogp)
     y = jax.lax.stop_gradient(y)
 
     # ---- critic boosting steps: grads of 0.5*(Q - y)^2 w.r.t. theta
@@ -171,13 +174,13 @@ def sac_train_step(acfg: TreeConfig, ccfg: TreeConfig, hp: SACHyper,
 
 
 def run_sac_train_step(algo, obs, actions, rewards, next_obs, dones,
-                       key) -> dict:
+                       discs, key) -> dict:
     """Host wrapper: grow capacities, run the fused step, sync the stats,
     and apply the ensemble-prefix target update + torch alpha update."""
     actor_lr = algo.actor.learner
     critic_lrs = [c.learner for c in algo.critics]
     hp = SACHyper(act_dim=algo.act_dim, q_func_type=algo.q_func_type,
-                  gamma=algo.gamma, max_grad_norm=algo.max_grad_norm or 0.0)
+                  max_grad_norm=algo.max_grad_norm or 0.0)
 
     # host-side tree counters: int(ens.n_trees)/get_num_trees are device
     # fetches (a tunnel round trip each, x3 ensembles per gradient step)
@@ -199,7 +202,7 @@ def run_sac_train_step(algo, obs, actions, rewards, next_obs, dones,
         actor_lr.cfg, critic_lrs[0].cfg, hp, specs,
         actor_lr.ens, tuple(lr.ens for lr in critic_lrs), prefixes,
         Xn, jnp.asarray(actions), jnp.asarray(rewards), Xn_next,
-        jnp.asarray(dones), jnp.float32(algo.alpha),
+        jnp.asarray(dones), jnp.asarray(discs), jnp.float32(algo.alpha),
         actor_lr._internal_feature_weights(), key)
 
     actor_lr.ens = new_actor

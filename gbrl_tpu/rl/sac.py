@@ -81,7 +81,8 @@ class SAC:
                  bias_lr: Optional[float] = None,
                  q_func_type: str = "linear", n_critics: int = 2,
                  buffer_size: int = 100_000, batch_size: int = 256,
-                 gamma: float = 0.99, learning_starts: int = 1000,
+                 gamma: float = 0.99, n_step: int = 1,
+                 learning_starts: int = 1000,
                  train_freq: int = 4, gradient_steps: int = 1,
                  target_update_interval: int = 100,
                  ent_coef="auto", target_entropy: Optional[float] = None,
@@ -136,6 +137,11 @@ class SAC:
             for _ in range(n_critics)]
 
         self.gamma = gamma
+        # n-step TD targets (VERDICT r4 SAC diagnosis: 1-step bootstrapping
+        # through gamma=0.99 moves the critic's value head too slowly at
+        # tree-budget pace; n-step shortens the bootstrap chain, so each
+        # target carries n real rewards and a gamma^n-discounted tail)
+        self.n_step = int(n_step)
         self.batch_size = batch_size
         self.learning_starts = learning_starts
         self.train_freq = train_freq
@@ -145,6 +151,8 @@ class SAC:
         self.jit_train = jit_train
         self._jax_key = None
         self.buffer = ReplayBuffer(buffer_size, obs_dim, act_dim)
+        from .buffers import NStepAccumulator
+        self._nstep = NStepAccumulator(self.n_envs, self.n_step, gamma)
 
         self.target_entropy = (float(target_entropy)
                                if target_entropy is not None
@@ -273,7 +281,7 @@ class SAC:
         return float(loss.detach())
 
     def train_step(self, gen: th.Generator, rng) -> Dict[str, float]:
-        obs, actions, rewards, next_obs, dones = \
+        obs, actions, rewards, next_obs, dones, discs = \
             self.buffer.sample(self.batch_size, rng)
         if self.jit_train:
             # fused device program: 1 round trip instead of ~10
@@ -284,11 +292,11 @@ class SAC:
                     int(gen.initial_seed()) & 0x7FFFFFFF)
             self._jax_key, sub = jax.random.split(self._jax_key)
             info = run_sac_train_step(self, obs, actions, rewards,
-                                      next_obs, dones, sub)
+                                      next_obs, dones, discs, sub)
             info["alpha"] = self.alpha
             return info
         y = (th.as_tensor(rewards)
-             + self.gamma * th.as_tensor(1.0 - dones)
+             + th.as_tensor(discs) * th.as_tensor(1.0 - dones)
              * self._target_q(next_obs, gen))
         closs = self.update_critics(obs, actions, y.numpy())
         aloss = self.update_actor(obs, gen)
@@ -325,13 +333,26 @@ class SAC:
             done = np.logical_or(term, trunc)
             # gymnasium >=1.0 NextStep autoreset: the step after an episode
             # end returns the reset obs with reward 0 and an ignored action
-            # — that transition must not enter the replay
-            keep = ~prev_done
-            if keep.any():
-                # truncation is not a true terminal: bootstrap through it
-                self.buffer.add(obs[keep], a[keep], rew[keep],
-                                next_obs[keep],
-                                term.astype(np.float32)[keep])
+            # — that transition must not enter the replay.  Valid rows feed
+            # the per-env n-step accumulator (n_step=1: plain transitions,
+            # disc=gamma); truncation is not a true terminal — the
+            # accumulator flushes with done=0 so targets bootstrap through
+            # the episode's final observation
+            emitted = []
+            for i in range(self.n_envs):
+                if prev_done[i]:
+                    continue
+                emitted += self._nstep.add(i, obs[i], a[i], float(rew[i]),
+                                           next_obs[i], bool(term[i]),
+                                           bool(trunc[i]))
+            if emitted:
+                self.buffer.add(
+                    np.stack([e[0] for e in emitted]),
+                    np.stack([e[1] for e in emitted]),
+                    np.asarray([e[2] for e in emitted], dtype=np.float32),
+                    np.stack([e[3] for e in emitted]),
+                    np.asarray([e[4] for e in emitted], dtype=np.float32),
+                    np.asarray([e[5] for e in emitted], dtype=np.float32))
             self._ep_ret += np.where(prev_done, 0.0, rew)
             for i in range(self.n_envs):
                 if done[i] and not prev_done[i]:
@@ -353,10 +374,12 @@ class SAC:
                 n0 = len(self.buffer)
                 r_mean = float(np.mean(self.buffer.rewards[:n0]))
                 d_mean = float(np.mean(self.buffer.dones[:n0]))
+                g_mean = float(np.mean(self.buffer.discs[:n0]))
                 # geometric-series value scale with the observed terminal
-                # rate: v0 = r_mean for pure bandits (d=1), r/(1-gamma)
-                # for continuing tasks (d=0)
-                v0 = r_mean / max(1.0 - self.gamma * (1.0 - d_mean), 1e-3)
+                # rate: v0 = r_mean for pure bandits (d=1), r/(1-gamma^n)
+                # for continuing tasks (d=0); rewards here are n-step sums
+                # and discs gamma^k, so the same fixed point applies
+                v0 = r_mean / max(1.0 - g_mean * (1.0 - d_mean), 1e-3)
                 for c in self.critics:
                     b = np.asarray(c.learner.get_bias(),
                                    dtype=np.float32).copy()

@@ -126,3 +126,49 @@ def test_sac_pendulum_runs():
     obs = np.zeros((4, algo.obs_dim), dtype=np.float32)
     a_env = algo._env_action(algo._act(obs, g))
     assert (np.abs(a_env) <= 2.0 + 1e-6).all()
+
+
+def test_nstep_accumulator_returns_and_boundaries():
+    """NStepAccumulator: steady-state k=n windows with gamma^i-discounted
+    reward sums; terminations flush everything with done=1; truncations
+    flush with done=0 (bootstrap through the final observation)."""
+    from gbrl_tpu.rl.buffers import NStepAccumulator
+    g, n = 0.9, 3
+    acc = NStepAccumulator(n_envs=1, n_step=n, gamma=g)
+    obs = [np.float32([t]) for t in range(10)]
+    rews = [1.0, 2.0, 3.0, 4.0, 5.0]
+    out = []
+    for t in range(4):
+        out += acc.add(0, obs[t], np.float32([0.1 * t]), rews[t],
+                       obs[t + 1], False, False)
+    # first window matures at t=2: R = r0 + g*r1 + g^2*r2, next = obs[3]
+    assert len(out) == 2
+    s, a, R, nxt, done, disc = out[0]
+    assert np.allclose(R, 1.0 + g * 2.0 + g * g * 3.0)
+    assert np.allclose(nxt, obs[3]) and done == 0.0
+    assert np.allclose(disc, g ** n)
+    assert np.allclose(out[1][2], 2.0 + g * 3.0 + g * g * 4.0)
+
+    # termination flushes the two pending windows with done=1
+    out_t = acc.add(0, obs[4], np.float32([0.0]), rews[4], obs[5],
+                    True, False)
+    assert len(out_t) == 3 and all(e[4] == 1.0 for e in out_t)
+    assert np.allclose(out_t[0][2], 3.0 + g * 4.0 + g * g * 5.0)
+    assert np.allclose(out_t[-1][2], 5.0)          # 1-step remainder
+    assert np.allclose(out_t[-1][5], g)            # disc = gamma^1
+    assert acc._pend[0] == []
+
+    # truncation flushes with done=0 so targets bootstrap
+    out0 = acc.add(0, obs[5], np.float32([0.0]), 7.0, obs[6], False, True)
+    assert len(out0) == 1 and out0[0][4] == 0.0
+    assert np.allclose(out0[0][2], 7.0) and np.allclose(out0[0][5], g)
+
+
+def test_nstep_1_matches_plain_transitions():
+    from gbrl_tpu.rl.buffers import NStepAccumulator
+    acc = NStepAccumulator(n_envs=1, n_step=1, gamma=0.99)
+    o0, o1 = np.float32([0.0]), np.float32([1.0])
+    out = acc.add(0, o0, np.float32([0.5]), 2.0, o1, False, False)
+    assert len(out) == 1
+    s, a, R, nxt, done, disc = out[0]
+    assert R == 2.0 and done == 0.0 and np.allclose(disc, 0.99)
