@@ -140,8 +140,9 @@ def main():
             "BASELINE config 5 head-to-head on Pendulum-v1: identical AWR "
             "(GaussianActor fixed-sigma -0.5->-1.4, oblivious cosine d4 "
             "b256, actor lr 0.05 / critic lr 0.05, beta 0.5, 2048-step "
-            "iterations, 20 actor + 60 critic trees/iter, batch 2048, "
-            "8 envs), identical gymnasium envs and Python loop on both "
+            f"iterations, 20 actor + 60 critic trees/iter, batch 2048, "
+            f"8 envs, gamma {args.gamma}), identical gymnasium envs and "
+            "Python loop on both "
             "sides; reference side = unmodified compiled C++ core via "
             "bench_reference/ref_shim.cpp driven through the same AWR "
             "class (the reference ships no AWR driver of its own)."),

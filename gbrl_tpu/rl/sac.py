@@ -77,8 +77,8 @@ class SAC:
     """
 
     def __init__(self, env, tree_struct: Dict = None, params: Dict = None,
-                 actor_lr: float = 0.02, critic_lr: float = 0.05,
-                 bias_lr: Optional[float] = None,
+                 actor_lr=0.02, critic_lr=0.05,
+                 bias_lr=None, schedule_T: Optional[int] = None,
                  q_func_type: str = "linear", n_critics: int = 2,
                  buffer_size: int = 100_000, batch_size: int = 256,
                  gamma: float = 0.99, n_step: int = 1,
@@ -106,13 +106,31 @@ class SAC:
         params = dict(params or dict(split_score_func="cosine",
                                      generator_type="Quantile"))
 
+        # lrs may be floats or the reference's "lin_<lr>" strings (Linear
+        # scheduler annealing init_lr -> stop_lr over schedule_T trees) —
+        # the anneal is the standard cure for late-run overwrite churn in
+        # long off-policy runs (each new tree keeps moving theta at full
+        # step size even after the policy has converged)
+        def _scale_lr(lr, f):
+            if isinstance(lr, str):
+                assert lr.startswith("lin_"), lr
+                return f"lin_{float(lr[4:]) * f}"
+            return lr * f
+
+        def _opt(prefix, lr, start, stop):
+            d = {f"{prefix}algo": "SGD", f"{prefix}lr": lr,
+                 "start_idx": start, "stop_idx": stop}
+            if isinstance(lr, str):
+                assert schedule_T, "lin_ lrs need schedule_T (planned trees)"
+                d["T"] = int(schedule_T)
+            return d
+
         self.actor = GaussianActor(
             tree_struct=tree_struct, input_dim=obs_dim,
             output_dim=2 * act_dim,
-            mu_optimizer={"mu_algo": "SGD", "mu_lr": actor_lr,
-                          "start_idx": 0, "stop_idx": act_dim},
-            std_optimizer={"std_algo": "SGD", "std_lr": actor_lr * 0.1,
-                           "start_idx": act_dim, "stop_idx": 2 * act_dim},
+            mu_optimizer=_opt("mu_", actor_lr, 0, act_dim),
+            std_optimizer=_opt("std_", _scale_lr(actor_lr, 0.1),
+                               act_dim, 2 * act_dim),
             log_std_init=log_std_init, params=params, device=device)
 
         qdim = q_param_dim(q_func_type, act_dim)
@@ -126,11 +144,8 @@ class SAC:
             ContinuousCritic(
                 tree_struct=tree_struct, input_dim=obs_dim, output_dim=qdim,
                 bias=critic_bias.copy(),
-                weights_optimizer={"weights_algo": "SGD",
-                                   "weights_lr": critic_lr,
-                                   "start_idx": 0, "stop_idx": act_dim},
-                bias_optimizer={"bias_algo": "SGD", "bias_lr": bias_lr,
-                                "start_idx": act_dim, "stop_idx": qdim},
+                weights_optimizer=_opt("weights_", critic_lr, 0, act_dim),
+                bias_optimizer=_opt("bias_", bias_lr, act_dim, qdim),
                 params=params,
                 target_update_interval=target_update_interval,
                 device=device)
