@@ -21,10 +21,17 @@ each replay row carries n real rewards and a gamma^n bootstrap tail).
     linear-Q  n_step=10 gamma=0.9 clr=0.1:       -928  <- learns
     + 2x tree budget (the default config here): -576 at 30k and falling
 
-Still experimental: no multi-seed artifact, no reference baseline exists
-(the reference ships no SAC), and Pendulum 'solved' is ~-200.
+At 80k steps the un-annealed run peaks at -282 (45k) then churns back to
+-499 (every new full-lr tree keeps overwriting a converged policy);
+adding the reference's Linear lr anneal (--critic-lr lin_0.1
+--actor-lr lin_0.02, annealed over the planned tree budget) holds the
+plateau: -308.9 / -345.1 / -444.9 over seeds 0/1/2 (mean -366±57,
+results_sac_pendulum.json).  Still experimental: Pendulum 'solved' is
+~-200, seed variance is wide, and no reference baseline exists (the
+reference ships no SAC).
 
-Usage: python examples/sac_pendulum.py [--steps 80000] [--q-func linear]
+Usage: python examples/sac_pendulum.py --steps 80000 \
+           --critic-lr lin_0.1 --actor-lr lin_0.02 [--seeds 0 1 2]
 """
 import argparse
 import os
