@@ -48,6 +48,16 @@ def _enable_persistent_compile_cache() -> None:
         if (jax.config.jax_compilation_cache_dir
                 or _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
             return
+        # CPU-only processes skip the persistent cache entirely: XLA:CPU
+        # AOT entries embed compiler pseudo-features (+prefer-no-scatter/
+        # +prefer-no-gather) that never appear in the host feature probe,
+        # so every cache LOAD warns "could lead to ... SIGILL" even on the
+        # machine that wrote it — and CPU compiles are fast anyway.  The
+        # cache exists for the 10s-of-seconds TPU program compiles.
+        plat = (getattr(jax.config, "jax_platforms", None)
+                or _os.environ.get("JAX_PLATFORMS", ""))
+        if plat and plat.split(",")[0].strip().lower() == "cpu":
+            return
         cache = _os.environ.get(
             "GBRL_TPU_CACHE_DIR",
             _os.path.join(_os.path.expanduser("~"), ".cache", "gbrl_tpu",
